@@ -1,0 +1,115 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core data model for the graft engine.
+  *
+  * The primary input is a table of multi-turn agent transcripts with exactly
+  * the shape of BASELINE.json `input_hint`:
+  * `(conv_id string, turn_idx int, role string, text string, tool string, ts timestamp)`.
+  *
+  * A `Turn` plays the role of the reference's `LineEvent`
+  * (reference: internal/collector/config.go:11-15 — {Line, File, Ts}):
+  * `text` is the line, `conv_id` is the provenance (file), `ts` the event time,
+  * and `turn_idx` is the in-file byte-order position (offset analogue).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+/** A turn after the grok/regex parse stage (reference parser outputs:
+  * pkg/parser/audit/audit.go:23-30 shape, generalized).
+  */
+final case class ParsedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp,
+    verb: String,              // leading verb: CALL | INFO | ask | ""
+    dur_ms: Option[Long],      // CALL ... dur=<n>ms
+    status: Option[String],    // CALL ... status=<ok|err>
+    kv: Map[String, String]    // quoted key=value fields (audit.go:82-147 semantics)
+)
+
+/** One lineage checkpoint row. Plays the role of freader's SQLite offsets row
+  * (reference: internal/store/migrations/00001_create_table_offsets.sql —
+  * offsets(id, strategy, path, offset, created_at, updated_at)).
+  *
+  * - `partition_id`  ≈ file id (here: a conversation bucket)
+  * - `watermark`     ≈ byte offset (here: max committed turn_seq in the bucket)
+  * - `content_hash`  ≈ file fingerprint (internal/file_tracker/fingerprint.go:27-53):
+  *                     recomputed at resume; mismatch → reprocess from scratch,
+  *                     mirroring the fingerprint-mismatch reopen
+  *                     (internal/tailer/tail_reader.go:95-106).
+  */
+final case class LineageRow(
+    run_id: String,
+    snapshot_id: Long,
+    partition_id: Int,
+    sink: String,
+    rows_delivered: Long,
+    content_hash: String,
+    committed_at: Timestamp
+)
+
+/** Routing rule: a named sink with include/exclude substring predicates,
+  * the reference's sink filter semantics verbatim
+  * (cmd/freader/sink/common/filter.go:11-30):
+  * include = OR of contains (empty ⇒ allow all); exclude = AND of NOT contains.
+  */
+final case class SinkRule(
+    name: String,
+    include: Seq[String] = Nil,
+    exclude: Seq[String] = Nil
+)
+
+/** Multiline assembly mode — the reference's four modes
+  * (internal/tailer/multline_reader.go:10-15, README.md:147-151).
+  */
+sealed trait MultilineMode
+object MultilineMode {
+  /** Non-matching line is included in the record, then the record is emitted. */
+  case object ContinuePast    extends MultilineMode
+  /** Matching lines continue the record; a non-matching line closes it. */
+  case object ContinueThrough extends MultilineMode
+  /** A matching line closes the previous record and starts a new one. */
+  case object HaltBefore      extends MultilineMode
+  /** A matching line is included in the record and emits it immediately. */
+  case object HaltWith        extends MultilineMode
+}
+
+/** Multiline spec (reference: internal/tailer/multline_reader.go:17-35). */
+final case class MultilineSpec(
+    mode: MultilineMode,
+    condPattern: String,
+    startPattern: Option[String] = None
+)
+
+/** Engine configuration, the analogue of the reference's nested Config
+  * (internal/collector/config.go:17-32 + cmd/freader/config.go:41-52).
+  * `validate()` mirrors Config.Validate strictness (config.go:190-237).
+  */
+final case class PipelineConfig(
+    separator: String = "\n",
+    multiline: Option[MultilineSpec] = None,
+    sinks: Seq[SinkRule] = Seq(SinkRule("console")),
+    saltBuckets: Int = 16,
+    lineagePartitions: Int = 32,
+    checkpointDir: Option[String] = None
+) {
+  def validate(): Either[String, PipelineConfig] =
+    if (separator.isEmpty) Left("separator must be non-empty")
+    else if (sinks.isEmpty) Left("at least one sink is required")
+    else if (sinks.map(_.name).distinct.size != sinks.size)
+      Left("sink names must be unique")
+    else if (saltBuckets < 1) Left("saltBuckets must be >= 1")
+    else if (lineagePartitions < 1) Left("lineagePartitions must be >= 1")
+    else Right(this)
+}
