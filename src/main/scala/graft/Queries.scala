@@ -1,0 +1,327 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KvParse
+import graft.model.{MultilineMode, SinkRule}
+import graft.operators.{Enrich, Parse, Route, Segments}
+import graft.sources.Transcripts
+
+/** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
+  *
+  * Each entry is one operator exercised end-to-end over the driver's sf
+  * parquet tables; the paired SQL in [[oracleSql]] derives the expected
+  * result independently (usually analytically from `event_id`, not by
+  * re-running the same expressions), so a hash match is meaningful.
+  */
+object Queries {
+
+  private val cte = Transcripts.eventsCte
+
+  /** Router rules used by the routing/accounting queries and tests. */
+  val demoRules: Seq[SinkRule] = Seq(
+    SinkRule("all"),
+    SinkRule("errors", include = Seq("status=err")),
+    SinkRule("clean", exclude = Seq("status=err", "INFO")))
+
+  // ------------------------------------------------------------------ spark side
+
+  private def tx(s: SparkSession, dir: String): DataFrame = Transcripts.fromEvents(s, dir)
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Synthetic auditd line per event — exercises the audit header parse. */
+  private def auditLines(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    events(s, dir).select(id, concat(
+      lit("type=SYSCALL msg=audit("),
+      (lit(1700000000L) + id % 100000).cast("string"),
+      lit("."), (id % 1000).cast("string"),
+      lit(":"), id.cast("string"),
+      lit("): arch=c000003e syscall=59 success="),
+      when(id % 2 === 0, lit("yes")).otherwise(lit("no")),
+      lit(" exe=\"/usr/bin/app with space\"")).as("line"))
+  }
+
+  /** Synthetic dmesg line per event — exercises the dmesg parse heuristics. */
+  private def dmesgLines(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val msg = when(id % 5 === 0, lit("usb 1-1: new high-speed USB device"))
+      .when(id % 5 === 1, lit("Linux version 6.1.0-generic build"))
+      .when(id % 5 === 2, lit("systemd[1]: Started Session"))
+      .when(id % 5 === 3, lit("docker daemon started"))
+      .otherwise(lit("zzz unknown message"))
+    events(s, dir).select(id, concat(
+      lit("<"), (id % 64).cast("string"), lit(">["),
+      (id % 100000).cast("string"), lit("."),
+      lpad((id % 1000000).cast("string"), 6, "0"),
+      lit("] "), msg).as("line"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transcripts" -> ((s, dir) => tx(s, dir)),
+
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("sum_qty"))),
+
+    // P4-shaped grok over the transcript text column
+    "q_parse_grok" -> ((s, dir) => Parse.parseTurnsSql(tx(s, dir))),
+
+    // P5: quoted key=value tokenizer (custom Catalyst expression), exploded
+    "q_parse_kv" -> ((s, dir) => {
+      KvParse.register(s)
+      Parse.parseTurns(tx(s, dir))
+        .where(col("verb") === "CALL")
+        .select(col("conv_id"), col("turn_idx"), explode(col("kv")).as(Seq("kv_key", "kv_value")))
+    }),
+
+    // P4 proper: auditd header + fields
+    "q_audit_parse" -> ((s, dir) => {
+      KvParse.register(s)
+      Parse.auditParse(auditLines(s, dir), "line")
+        .select(col("event_id"), col("a_type"), col("epoch_sec"), col("epoch_nsec"),
+          col("serial"),
+          try_element_at(col("fields"), lit("success")).as("success"),
+          try_element_at(col("fields"), lit("exe")).as("exe"))
+    }),
+
+    // P7: dmesg bit-split + subsystem heuristics
+    "q_dmesg_parse" -> ((s, dir) =>
+      Parse.dmesgParse(dmesgLines(s, dir), "line")
+        .select(col("event_id"), col("priority"), col("facility"), col("subsystem"),
+          col("priority_name"), col("facility_name"), col("ts_rel"), col("message"))),
+
+    // P9: Go-order dynamic type detection
+    "q_csv_typedetect" -> ((s, dir) => {
+      val id = col("event_id")
+      val v = when(id % 10 === 0, lit("1"))
+        .when(id % 10 === 1, lit("true"))
+        .when(id % 10 === 2, lit("off"))
+        .when(id % 10 === 3, lit("42"))
+        .when(id % 10 === 4, lit("-7"))
+        .when(id % 10 === 5, lit("3.14"))
+        .when(id % 10 === 6, lit("1e3"))
+        .when(id % 10 === 7, lit("2024-01-02 03:04:05"))
+        .when(id % 10 === 8, lit("hello"))
+        .otherwise(lit(""))
+      events(s, dir).select(id, v.as("value"), Parse.detectTypeKind(v).as("kind"))
+    }),
+
+    // P6: proper quoted-CSV single-line split
+    "q_csv_fields" -> ((s, dir) => {
+      val id = col("event_id")
+      val line = concat(lit("v"), id.cast("string"), lit(",\"x, y\",z"))
+      val f = Parse.csvFields(line, 3)
+      events(s, dir).select(id,
+        f.getField("field_1").as("field_1"),
+        f.getField("field_2").as("field_2"),
+        f.getField("field_3").as("field_3"))
+    }),
+
+    // A1 window formulation: haltBefore — header lines start records
+    "q_multiline_haltbefore" -> ((s, dir) =>
+      Segments.assembleWindow(tx(s, dir), MultilineMode.HaltBefore, "^(CALL|INFO|ask)")),
+
+    // A1 window formulation: continueThrough — non-matching lines start records
+    "q_multiline_through" -> ((s, dir) =>
+      Segments.assembleWindow(tx(s, dir), MultilineMode.ContinueThrough, "^(CALL|INFO|ask)")),
+
+    // J2: broadcast enrich against the tool/role dimension
+    "q_enrich" -> ((s, dir) =>
+      Enrich.enrich(tx(s, dir).filter(col("tool") =!= ""))
+        .select("conv_id", "turn_idx", "tool", "tool_family", "tool_label", "host")),
+
+    // P2: sink include/exclude substring filter
+    "q_filter_substring" -> ((s, dir) =>
+      Route.forSink(tx(s, dir),
+        SinkRule("f", include = Seq("status=err", "ask"), exclude = Seq("note=\"lvl 4\"")))
+        .select("conv_id", "turn_idx", "text")),
+
+    // K7: fan-out router — per-sink per-route-key delivered accounting
+    "q_sink_counts" -> ((s, dir) =>
+      Route.sinkCounts(Route.routed(tx(s, dir)), demoRules)),
+
+    // A5/A7: accounting invariant inputs
+    "q_blank_accounting" -> ((s, dir) => Route.accounting(tx(s, dir))),
+
+    // O1: per-conversation turn counts (collector per-file accounting)
+    "q_conv_turn_counts" -> ((s, dir) =>
+      tx(s, dir).groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"), max("turn_idx").as("last_turn"))),
+
+    // per-tool usage tallies (north-star aggregate)
+    "q_tool_usage" -> ((s, dir) => {
+      val t = tx(s, dir).filter(col("tool") =!= "")
+        .withColumn("dur_ms", regexp_extract(col("text"), "dur=(\\d+)ms", 1).cast("long"))
+        .withColumn("is_err", when(col("text").contains("status=err"), 1L).otherwise(0L))
+      t.join(broadcast(Enrich.toolDimDf(s)), Seq("tool"), "left")
+        .groupBy("tool_family")
+        .agg(count(lit(1)).as("n_calls"), sum("dur_ms").as("total_dur_ms"),
+          sum("is_err").as("n_err"))
+    }),
+
+    // S4: fingerprint strategies (checksum + checksumSeparator)
+    "q_fingerprint" -> ((s, dir) =>
+      documents(s, dir)
+        .filter(length(col("text")) >= 64 && size(split(col("text"), " ")) > 3)
+        .select(col("doc_id"),
+          sha2(substring(col("text"), 1, 64), 256).as("fp_checksum"),
+          sha2(concat(substring_index(col("text"), " ", 3), lit(" ")), 256).as("fp_sep"))),
+
+    // S8: separator split + explode (blob-ingestion parity)
+    "q_split_explode" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word")))
+  )
+
+  // ------------------------------------------------------------------ oracle side
+
+  private val toolDimJoin =
+    s"JOIN ${Enrich.toolDimSql} USING (tool)"
+
+  private val routedCte: String =
+    """, routed AS (
+      |  SELECT conv_id, turn_idx, text,
+      |    unnest(CASE WHEN tool <> '' THEN ['role:' || role, 'tool:' || tool]
+      |                ELSE ['role:' || role] END) AS route_key
+      |  FROM transcripts WHERE length(text) > 0
+      |)
+      |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_transcripts" -> (cte + "SELECT * FROM transcripts"),
+
+    "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+
+    "q_parse_grok" -> (cte +
+      """SELECT conv_id, turn_idx,
+        |  regexp_extract(text, '^([A-Za-z]+)', 1) AS verb,
+        |  regexp_extract(text, 'tool=([A-Za-z0-9_]+)', 1) AS tool_x,
+        |  CAST(nullif(regexp_extract(text, 'dur=(\d+)ms', 1), '') AS BIGINT) AS dur_ms,
+        |  nullif(regexp_extract(text, 'status=([a-z]+)', 1), '') AS status,
+        |  nullif(regexp_extract(text, 'note="([^"]*)"', 1), '') AS note
+        |FROM transcripts""".stripMargin),
+
+    "q_parse_kv" -> (cte +
+      """SELECT conv_id, turn_idx, 'tool' AS kv_key, tool AS kv_value FROM transcripts_ev WHERE tool <> ''
+        |UNION ALL SELECT conv_id, turn_idx, 'k', CAST(event_id % 100 AS VARCHAR) FROM transcripts_ev WHERE tool <> ''
+        |UNION ALL SELECT conv_id, turn_idx, 'note', 'lvl ' || CAST(event_id % 5 AS VARCHAR) FROM transcripts_ev WHERE tool <> ''
+        |UNION ALL SELECT conv_id, turn_idx, 'dur', CAST(event_id % 997 AS VARCHAR) || 'ms' FROM transcripts_ev WHERE tool <> ''
+        |UNION ALL SELECT conv_id, turn_idx, 'status', CASE WHEN event_id % 7 = 0 THEN 'err' ELSE 'ok' END FROM transcripts_ev WHERE tool <> ''""".stripMargin),
+
+    "q_audit_parse" ->
+      """SELECT event_id,
+        |  'SYSCALL' AS a_type,
+        |  1700000000 + event_id % 100000 AS epoch_sec,
+        |  CAST(rpad(CAST(event_id % 1000 AS VARCHAR), 9, '0') AS BIGINT) AS epoch_nsec,
+        |  event_id AS serial,
+        |  CASE WHEN event_id % 2 = 0 THEN 'yes' ELSE 'no' END AS success,
+        |  '/usr/bin/app with space' AS exe
+        |FROM events""".stripMargin,
+
+    "q_dmesg_parse" ->
+      """SELECT event_id,
+        |  CAST((event_id % 64) % 8 AS INTEGER) AS priority,
+        |  CAST((event_id % 64) // 8 AS INTEGER) AS facility,
+        |  CASE WHEN event_id % 5 = 0 THEN 'usb'
+        |       WHEN event_id % 5 = 1 THEN 'kernel'
+        |       WHEN event_id % 5 = 2 THEN 'systemd'
+        |       WHEN event_id % 5 = 3 THEN 'docker'
+        |       ELSE '' END AS subsystem,
+        |  (['emergency','alert','critical','error','warning','notice','info','debug'])[CAST((event_id % 64) % 8 AS INTEGER) + 1] AS priority_name,
+        |  (['kernel','user','mail','daemon','auth','syslog','lpr','news'])[CAST((event_id % 64) // 8 AS INTEGER) + 1] AS facility_name,
+        |  CAST(CAST(event_id % 100000 AS VARCHAR) || '.' || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0') AS DOUBLE) AS ts_rel,
+        |  CASE WHEN event_id % 5 = 0 THEN 'usb 1-1: new high-speed USB device'
+        |       WHEN event_id % 5 = 1 THEN 'Linux version 6.1.0-generic build'
+        |       WHEN event_id % 5 = 2 THEN 'systemd[1]: Started Session'
+        |       WHEN event_id % 5 = 3 THEN 'docker daemon started'
+        |       ELSE 'zzz unknown message' END AS message
+        |FROM events""".stripMargin,
+
+    "q_csv_typedetect" ->
+      """SELECT event_id,
+        |  CASE event_id % 10 WHEN 0 THEN '1' WHEN 1 THEN 'true' WHEN 2 THEN 'off'
+        |    WHEN 3 THEN '42' WHEN 4 THEN '-7' WHEN 5 THEN '3.14' WHEN 6 THEN '1e3'
+        |    WHEN 7 THEN '2024-01-02 03:04:05' WHEN 8 THEN 'hello' ELSE '' END AS value,
+        |  CASE event_id % 10 WHEN 0 THEN 'bool' WHEN 1 THEN 'bool' WHEN 2 THEN 'bool'
+        |    WHEN 3 THEN 'int' WHEN 4 THEN 'int' WHEN 5 THEN 'float' WHEN 6 THEN 'float'
+        |    WHEN 7 THEN 'timestamp' WHEN 8 THEN 'string' ELSE 'empty' END AS kind
+        |FROM events""".stripMargin,
+
+    "q_csv_fields" ->
+      """SELECT event_id, 'v' || CAST(event_id AS VARCHAR) AS field_1,
+        |  'x, y' AS field_2, 'z' AS field_3 FROM events""".stripMargin,
+
+    "q_multiline_haltbefore" -> (cte + multilineOracle("regexp_matches(text, '^(CALL|INFO|ask)')")),
+
+    "q_multiline_through" -> (cte + multilineOracle("NOT regexp_matches(text, '^(CALL|INFO|ask)')")),
+
+    "q_enrich" -> (cte +
+      s"""SELECT conv_id, turn_idx, tool, tool_family, tool_label, 'graft' AS host
+         |FROM transcripts $toolDimJoin WHERE tool <> ''""".stripMargin),
+
+    "q_filter_substring" -> (cte +
+      """SELECT conv_id, turn_idx, text FROM transcripts
+        |WHERE (text LIKE '%status=err%' OR text LIKE '%ask%')
+        |  AND text NOT LIKE '%note="lvl 4"%'""".stripMargin),
+
+    "q_sink_counts" -> (cte + routedCte +
+      """SELECT 'all' AS sink, route_key, count(*) AS rows_delivered,
+        |       CAST(sum(length(text)) AS BIGINT) AS bytes_delivered
+        |FROM routed GROUP BY 2
+        |UNION ALL
+        |SELECT 'errors', route_key, count(*), CAST(sum(length(text)) AS BIGINT)
+        |FROM routed WHERE text LIKE '%status=err%' GROUP BY 2
+        |UNION ALL
+        |SELECT 'clean', route_key, count(*), CAST(sum(length(text)) AS BIGINT)
+        |FROM routed WHERE text NOT LIKE '%status=err%' AND text NOT LIKE '%INFO%' GROUP BY 2""".stripMargin),
+
+    "q_blank_accounting" -> (cte +
+      """SELECT count(*) AS input_rows,
+        |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS blank_rows,
+        |  CAST(sum(CASE WHEN length(text) > 0 THEN (CASE WHEN tool <> '' THEN 2 ELSE 1 END) ELSE 0 END) AS BIGINT) AS routed_rows
+        |FROM transcripts""".stripMargin),
+
+    "q_conv_turn_counts" -> (cte +
+      """SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS last_turn
+        |FROM transcripts GROUP BY 1""".stripMargin),
+
+    "q_tool_usage" -> (cte +
+      s"""SELECT tool_family, count(*) AS n_calls,
+         |  CAST(sum(event_id % 997) AS BIGINT) AS total_dur_ms,
+         |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+         |FROM transcripts_ev $toolDimJoin
+         |WHERE tool <> '' GROUP BY 1""".stripMargin),
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(substring(text, 1, 64)) AS fp_checksum,
+        |  sha256(array_to_string((string_split(text, ' '))[1:3], ' ') || ' ') AS fp_sep
+        |FROM documents
+        |WHERE length(text) >= 64 AND len(string_split(text, ' ')) > 3""".stripMargin,
+
+    "q_split_explode" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+  )
+
+  /** Shared window-formulation oracle body; `boundaryExpr` decides whether
+    * the current row starts a record (in addition to first-in-conversation).
+    */
+  private def multilineOracle(boundaryExpr: String): String =
+    s"""SELECT conv_id, CAST(seg AS INTEGER) AS record_idx,
+       |  string_agg(text, chr(10) ORDER BY turn_idx) AS record,
+       |  CAST(count(*) AS INTEGER) AS n_lines
+       |FROM (
+       |  SELECT conv_id, turn_idx, text,
+       |    sum(CASE WHEN is_first OR ($boundaryExpr) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) - 1 AS seg
+       |  FROM (
+       |    SELECT conv_id, turn_idx, text,
+       |      lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL AS is_first
+       |    FROM transcripts) f) s
+       |GROUP BY 1, 2""".stripMargin
+}

@@ -1,26 +1,24 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.operators.{Enrich, Route}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+  /** Flagship end-to-end pipeline (parse → enrich → route → aggregate) on
+    * sf0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    functions.KvParse.register(spark)
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val routed = Route.routed(Enrich.enrich(operators.Parse.parseTurns(t)))
+    Route.sinkCounts(routed, Queries.demoRules)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_transcripts" -> ((s, dir) => Transcripts.fromEvents(s, dir)),
-    "q1_agg" -> ((s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy("l_returnflag")
-        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty")))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q_transcripts" -> (Transcripts.eventsCte + "SELECT * FROM transcripts"),
-    "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1"
-  )
+  def oracleSql: Map[String, String] = Queries.oracleSql
 }

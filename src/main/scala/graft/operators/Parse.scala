@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The grok/regex parse stage family. Each parser is a pure
+  * `DataFrame => DataFrame` (or Column-producing) transform built from
+  * codegen'd built-ins (`regexp_extract`, `rlike`, bit ops, casts) plus the
+  * one custom expression ([[graft.functions.KvParse]]) Spark genuinely lacks.
+  *
+  * Reference semantics:
+  *  - transcript grok  ≈ the parser-transform closure (cmd/freader/main.go:99-120)
+  *  - audit            ≈ pkg/parser/audit/audit.go:34-78
+  *  - dmesg            ≈ pkg/parser/dmesg/dmesg.go:42-122
+  *  - csv type detect  ≈ pkg/parser/csv/csv.go:148-202
+  */
+object Parse {
+
+  // ---------------------------------------------------------------- transcript grok
+
+  /** Flagship parse stage over the transcript `text` column: extracts the
+    * leading verb, tool invocation, duration, status, and quoted key=value
+    * fields. All extraction is regexp_extract (whole-stage codegen).
+    */
+  def parseTurns(df: DataFrame): DataFrame = {
+    val text = col("text")
+    df
+      .withColumn("verb", regexp_extract(text, "^([A-Za-z]+)", 1))
+      .withColumn("tool_x", regexp_extract(text, "tool=([A-Za-z0-9_]+)", 1))
+      .withColumn("dur_ms",
+        nullif(regexp_extract(text, "dur=(\\d+)ms", 1), lit("")).cast("long"))
+      .withColumn("status", nullif(regexp_extract(text, "status=(\\w+)", 1), lit("")))
+      .withColumn("kv", call_function("kv_parse", text))
+  }
+
+  /** `parseTurns` variant for SQL-oracle checks: same columns minus the map
+    * (DuckDB map comparison is not part of the driver gate); adds a
+    * deterministic projection of one kv field instead.
+    */
+  def parseTurnsSql(df: DataFrame): DataFrame = {
+    val text = col("text")
+    df.select(
+      col("conv_id"), col("turn_idx"),
+      regexp_extract(text, "^([A-Za-z]+)", 1).as("verb"),
+      regexp_extract(text, "tool=([A-Za-z0-9_]+)", 1).as("tool_x"),
+      nullif(regexp_extract(text, "dur=(\\d+)ms", 1), lit("")).cast("long").as("dur_ms"),
+      nullif(regexp_extract(text, "status=([a-z]+)", 1), lit("")).as("status"),
+      nullif(regexp_extract(text, "note=\"([^\"]*)\"", 1), lit("")).as("note")
+    )
+  }
+
+  /** Passthrough/drop wrapper, the reference's parser-transform closure
+    * (cmd/freader/main.go:99-120): on parse hit emit rendered JSON, on miss
+    * pass the raw line through or drop it.
+    */
+  def parsedOrRaw(df: DataFrame, parsed: Column, hit: Column, dropNonMatching: Boolean): DataFrame = {
+    val out = when(hit, to_json(parsed)).otherwise(
+      if (dropNonMatching) lit(null) else col("text"))
+    df.withColumn("out", out).filter(col("out").isNotNull)
+  }
+
+  // ---------------------------------------------------------------- auditd
+
+  private val auditHeadRe = "^type=([A-Z_]+)\\s+msg=audit\\((\\d+)\\.(\\d+):(\\d+)\\):\\s*(.*)$"
+  private val auditAltRe = "^type=([A-Z_]+)\\s+(.*)$"
+
+  /** Audit header parse (audit.go:44-78): header regex with
+    * epoch.frac:serial, fractional seconds right-padded/truncated to 9
+    * digits for nsec; alternate headerless form; quoted-kv fields map.
+    * Adds columns: a_type, epoch_sec, epoch_nsec, serial, fields, audit_hit.
+    */
+  def auditParse(df: DataFrame, lineCol: String): DataFrame = {
+    val t = trim(col(lineCol))
+    val headHit = t.rlike(auditHeadRe)
+    val altHit = t.rlike(auditAltRe)
+    val frac = regexp_extract(t, auditHeadRe, 3)
+    // right-pad to 9 then truncate to 9 == Go's pad/truncate normalization
+    val nsec = substring(rpad(frac, 9, "0"), 1, 9).cast("long")
+    val rest = when(headHit, regexp_extract(t, auditHeadRe, 5))
+      .otherwise(regexp_extract(t, auditAltRe, 2))
+    df
+      .withColumn("audit_hit", (length(t) > 0) && (headHit || altHit))
+      .withColumn("a_type",
+        when(headHit, regexp_extract(t, auditHeadRe, 1))
+          .when(altHit, regexp_extract(t, auditAltRe, 1)).otherwise(lit(null)))
+      .withColumn("epoch_sec", when(headHit, regexp_extract(t, auditHeadRe, 2).cast("long")))
+      .withColumn("epoch_nsec", when(headHit, nsec))
+      .withColumn("serial", when(headHit, regexp_extract(t, auditHeadRe, 4).cast("long")))
+      .withColumn("fields", when(col("audit_hit"), call_function("kv_parse", rest)))
+  }
+
+  // ---------------------------------------------------------------- dmesg
+
+  private val dmesgRe = "^(?:<(\\d+)>)?\\[\\s*(\\d+(?:\\.\\d+)?)]\\s*(.*)$"
+  private val subsystemRe = "^([a-zA-Z][a-zA-Z0-9_-]*)\\s*.*?:"
+
+  val knownSubsystems: Seq[String] = Seq(
+    "kernel", "usb", "net", "pci", "acpi", "cpu", "memory", "disk",
+    "filesystem", "block", "scsi", "ata", "sound", "input", "thermal",
+    "power", "bluetooth", "wifi", "ethernet", "bridge", "firewall",
+    "systemd", "docker", "kvm", "xen")
+
+  private val priorityNames = Seq(
+    "emergency", "alert", "critical", "error", "warning", "notice", "info", "debug")
+  private val facilityNames = Seq(
+    "kernel", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7")
+
+  /** dmesg parse (dmesg.go:54-122): `<pri>[ts] message`; priority = low 3
+    * bits, facility = high bits; boot-relative ts; subsystem via regex, then
+    * known-subsystem table, then contains-heuristics. Boot time optional.
+    */
+  def dmesgParse(df: DataFrame, lineCol: String, bootEpochSec: Option[Long] = None): DataFrame = {
+    val t = trim(col(lineCol))
+    val hit = t.rlike(dmesgRe)
+    val priRaw = nullif(regexp_extract(t, dmesgRe, 1), lit("")).cast("int")
+    val tsRel = when(hit, regexp_extract(t, dmesgRe, 2).cast("double"))
+    val message = when(hit, trim(regexp_extract(t, dmesgRe, 3))).otherwise(t)
+    val firstWord = lower(element_at(split(message, "\\s+"), 1))
+    val subsystem = coalesce(
+      nullif(regexp_extract(message, subsystemRe, 1), lit("")),
+      when(firstWord.isin(knownSubsystems: _*), firstWord),
+      when(message.contains("Linux version"), lit("kernel")),
+      when(message.contains("systemd["), lit("systemd")),
+      when(message.contains("docker"), lit("docker")),
+      lit(""))
+    val base = df
+      .withColumn("dmesg_hit", hit)
+      .withColumn("priority", when(priRaw.isNotNull, priRaw.bitwiseAND(lit(7))).otherwise(lit(0)))
+      .withColumn("facility", when(priRaw.isNotNull, shiftright(priRaw, 3)).otherwise(lit(0)))
+      .withColumn("ts_rel", coalesce(tsRel, lit(0.0)))
+      .withColumn("message", message)
+      .withColumn("subsystem", subsystem)
+      .withColumn("priority_name",
+        when(col("priority").between(0, priorityNames.size - 1),
+          element_at(array(priorityNames.map(lit): _*), col("priority") + 1))
+          .otherwise(lit("unknown")))
+      .withColumn("facility_name",
+        when(col("facility").between(0, facilityNames.size - 1),
+          element_at(array(facilityNames.map(lit): _*), col("facility") + 1))
+          .otherwise(lit("unknown")))
+    bootEpochSec match {
+      case Some(boot) =>
+        base.withColumn("absolute_ts", timestamp_seconds(lit(boot) + col("ts_rel")))
+      case None => base
+    }
+  }
+
+  // ---------------------------------------------------------------- csv dynamic typing
+
+  /** The 8 timestamp layouts of csv.go:183-192, as Spark datetime patterns. */
+  private val tsFormats = Seq(
+    "yyyy-MM-dd'T'HH:mm:ssXXX",       // RFC3339
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX", // RFC3339Nano (bounded precision)
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy/MM/dd HH:mm:ss",
+    "MM/dd/yyyy HH:mm:ss",
+    "yyyy-MM-dd",
+    "MM/dd/yyyy")
+
+  /** Go-order dynamic type detection (csv.go:148-202): bool words (note
+    * "1"/"0" are bools, before ints) → int64 → float64 → 8 timestamp
+    * layouts → string. Returns the detected kind as a string column —
+    * the parity-relevant artifact (exact Go precedence).
+    */
+  def detectTypeKind(v: Column): Column = {
+    val t = trim(v)
+    val lower_ = lower(t)
+    when(t === "", lit("empty"))
+      .when(lower_.isin("true", "yes", "1", "on", "false", "no", "0", "off"), lit("bool"))
+      .when(t.rlike("^[+-]?\\d+$") && try_cast(t, "long").isNotNull, lit("int"))
+      .when(try_cast(t, "double").isNotNull, lit("float"))
+      .when(coalesce(tsFormats.map(f => try_to_timestamp(t, lit(f))): _*).isNotNull, lit("timestamp"))
+      .otherwise(lit("string"))
+  }
+
+  private def try_cast(c: Column, to: String): Column = c.try_cast(to)
+  private def try_to_timestamp(c: Column, fmt: Column): Column =
+    org.apache.spark.sql.functions.try_to_timestamp(c, fmt)
+
+  /** Proper quoted-CSV split of a single line with custom delimiter —
+    * `from_csv` with an all-string schema of n generated `field_i` names
+    * (csv.go:89-94), plus `extra` overflow handling is bounded by n.
+    */
+  def csvFields(line: Column, n: Int, delim: String = ","): Column = {
+    val schema = (1 to n).map(i => s"field_$i string").mkString(", ")
+    from_csv(line, org.apache.spark.sql.types.StructType.fromDDL(schema),
+      Map("sep" -> delim, "ignoreLeadingWhiteSpace" -> "true"))
+  }
+}

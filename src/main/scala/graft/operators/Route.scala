@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.SinkRule
+
+/** Deterministic fan-out router.
+  *
+  * The reference routes every line to exactly ONE configured sink
+  * (cmd/freader/sink.go:18-87) after an include/exclude substring filter
+  * (cmd/freader/sink/common/filter.go:11-30). The north rule generalizes
+  * this to fan-out: each row is assigned `role:<role>` and (for tool turns)
+  * `tool:<tool>` route keys, exploded, filtered per sink rule, and written
+  * with a single `partitionBy(route_key)` pass per sink family — one
+  * shuffle-free write, N output directories.
+  *
+  * Blank lines are counted but never delivered — the reference's
+  * blank-record rule (internal/tailer/tail_reader.go:272-279: the offset
+  * advances, the callback is not invoked).
+  */
+object Route {
+
+  /** include = OR of contains (empty include ⇒ allow all);
+    * exclude = AND of NOT contains (filter.go:11-30).
+    */
+  def sinkPredicate(rule: SinkRule, text: Column): Column = {
+    val inc =
+      if (rule.include.isEmpty) lit(true)
+      else rule.include.map(s => text.contains(s)).reduce(_ || _)
+    val exc = rule.exclude.map(s => !text.contains(s)).foldLeft(lit(true))(_ && _)
+    inc && exc
+  }
+
+  /** Add the route_key column set and explode: every row gets `role:<role>`;
+    * tool turns additionally get `tool:<tool>`. Blank texts are dropped here
+    * (delivery filter) — account for them upstream.
+    */
+  def routed(df: DataFrame): DataFrame = {
+    val keys = when(col("tool") =!= "",
+      array(concat(lit("role:"), col("role")), concat(lit("tool:"), col("tool"))))
+      .otherwise(array(concat(lit("role:"), col("role"))))
+    df.filter(length(col("text")) > 0)
+      .withColumn("route_key", explode(keys))
+  }
+
+  /** Apply one sink rule's include/exclude filter over routed rows. */
+  def forSink(routedDf: DataFrame, rule: SinkRule): DataFrame =
+    routedDf.filter(sinkPredicate(rule, col("text")))
+
+  /** Per-(sink, route_key) delivered-row accounting — the collector/sink
+    * metric totals that must match the reference's delivered-line
+    * accounting (internal/metrics/collector_metrics.go:9-88,
+    * cmd/freader/metrics/metrics.go:11-120): rows delivered and payload
+    * bytes (line length, separators excluded — collector.go:79-81).
+    */
+  def sinkCounts(routedDf: DataFrame, rules: Seq[SinkRule]): DataFrame = {
+    val spark = routedDf.sparkSession
+    rules.map { r =>
+      forSink(routedDf, r)
+        .groupBy(col("route_key"))
+        .agg(count(lit(1)).as("rows_delivered"),
+          sum(length(col("text"))).as("bytes_delivered"))
+        .withColumn("sink", lit(r.name))
+        .select("sink", "route_key", "rows_delivered", "bytes_delivered")
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Overall accounting invariant inputs (SURVEY §5.6):
+    * input == delivered_once + blank + excluded-per-rule. Returns one row:
+    * (input_rows, blank_rows, routed_rows).
+    */
+  def accounting(df: DataFrame): DataFrame = {
+    df.agg(
+      count(lit(1)).as("input_rows"),
+      sum(when(length(col("text")) === 0, 1).otherwise(0)).as("blank_rows"),
+      sum(when(length(col("text")) > 0,
+        when(col("tool") =!= "", 2).otherwise(1)).otherwise(0)).as("routed_rows"))
+  }
+
+  /** Sink write: the ClickHouse/OpenSearch row shape
+    * (ts, host, labels→route_key, message) as partitioned parquet per sink
+    * directory — `partitionBy(route_key)` gives one directory per route,
+    * single pass, no extra shuffle.
+    */
+  def writeSink(routedDf: DataFrame, rule: SinkRule, outDir: String): Unit =
+    forSink(routedDf, rule)
+      .select(col("ts"), col("host"), col("route_key"),
+        col("text").as("message"), col("conv_id"), col("turn_idx"))
+      .write.mode("overwrite")
+      .partitionBy("route_key")
+      .parquet(s"$outDir/${rule.name}")
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{MultilineMode, MultilineSpec}
+import graft.model.MultilineMode._
+
+/** Multiline record assembly — the reference's 4-mode stateful line folder
+  * (internal/tailer/multline_reader.go:139-264) re-expressed for Spark.
+  *
+  * Two formulations behind one semantic:
+  *
+  *  1. [[assembleFsm]] — exact: repartition by conv_id, sort within
+  *     partitions by (conv_id, turn_idx), run the FSM per conversation in
+  *     `mapPartitions`. Handles all 4 modes + StartPattern standalone
+  *     emission. One shuffle; conversations never split across partitions.
+  *
+  *  2. [[assembleWindow]] — declarative: for the 4 modes *without*
+  *     StartPattern, the record boundary is a pure function of the current
+  *     and previous line, so a window `sum(boundary) over (partition by
+  *     conv_id order by turn_idx)` yields the segment id; fully
+  *     Catalyst-optimizable and DuckDB-oracle-expressible.
+  *
+  * End-of-batch behavior: the final open buffer is always flushed —
+  * the reference's ReadOnce residual flush (tail_reader.go:229-249).
+  */
+object Segments {
+
+  /** Pure single-conversation FSM, shared by `assembleFsm` and the
+    * ScalaTest/ScalaCheck property suite. Input lines in turn order;
+    * output = completed records, each = lines joined with '\n'.
+    */
+  final class Fsm(spec: MultilineSpec) {
+    private val condRe = spec.condPattern.r
+    private val startRe = spec.startPattern.map(_.r)
+    private val buf = mutable.ArrayBuffer.empty[String]
+    private val out = mutable.ArrayBuffer.empty[String]
+
+    private def matches(re: scala.util.matching.Regex, s: String): Boolean =
+      re.findFirstIn(s).isDefined
+
+    private def emitBuf(): Unit =
+      if (buf.nonEmpty) { out += buf.mkString("\n"); buf.clear() }
+
+    private def standalone(line: String): Unit = out += line
+
+    def write(line: String): Unit = {
+      if (buf.isEmpty) {
+        startRe match {
+          case Some(re) =>
+            if (matches(re, line)) buf += line
+            else standalone(line)
+          case None => buf += line
+        }
+        return
+      }
+      val m = matches(condRe, line)
+      spec.mode match {
+        case ContinuePast =>
+          buf += line
+          if (!m) emitBuf()
+        case ContinueThrough =>
+          if (m) buf += line
+          else {
+            emitBuf()
+            startRe match {
+              case Some(re) =>
+                if (matches(re, line)) buf += line else standalone(line)
+              case None => buf += line
+            }
+          }
+        case HaltBefore =>
+          if (m) {
+            emitBuf()
+            startRe match {
+              case Some(re) =>
+                if (matches(re, line)) buf += line else standalone(line)
+              case None => buf += line
+            }
+          } else buf += line
+        case HaltWith =>
+          buf += line
+          if (m) emitBuf()
+      }
+    }
+
+    /** Residual flush (multline_reader.go:279-285). */
+    def flush(): Seq[String] = { emitBuf(); val r = out.toSeq; out.clear(); r }
+
+    /** Drain records completed so far without flushing the open buffer. */
+    def drain(): Seq[String] = { val r = out.toSeq; out.clear(); r }
+  }
+
+  /** Run one conversation's lines (already in turn order) through the FSM,
+    * returning (record_idx, record) pairs including the end-of-batch flush.
+    */
+  def runFsm(spec: MultilineSpec, lines: Iterator[String]): Iterator[(Int, String)] = {
+    val fsm = new Fsm(spec)
+    lines.foreach(fsm.write)
+    fsm.flush().iterator.zipWithIndex.map { case (r, i) => (i, r) }
+  }
+
+  /** Exact formulation: one hash shuffle on conv_id, in-partition sort,
+    * per-conversation FSM. Output: (conv_id, record_idx, record, n_lines).
+    */
+  def assembleFsm(df: DataFrame, spec: MultilineSpec, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    df.select("conv_id", "turn_idx", "text")
+      .repartition(parts, col("conv_id"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        new Iterator[(String, Int, String, Int)] {
+          private val in = it.buffered
+          private var pending: Iterator[(String, Int, String, Int)] = Iterator.empty
+          private def advance(): Unit = {
+            while (pending.isEmpty && in.hasNext) {
+              val conv = in.head._1
+              val fsm = new Fsm(spec)
+              val recs = mutable.ArrayBuffer.empty[(String, Int, String, Int)]
+              var idx = 0
+              while (in.hasNext && in.head._1 == conv) {
+                fsm.write(in.next()._3)
+                fsm.drain().foreach { r =>
+                  val nl = r.count(_ == '\n') + 1
+                  recs += ((conv, idx, r, nl)); idx += 1
+                }
+              }
+              fsm.flush().foreach { r =>
+                val nl = r.count(_ == '\n') + 1
+                recs += ((conv, idx, r, nl)); idx += 1
+              }
+              pending = recs.iterator
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (String, Int, String, Int) = { advance(); pending.next() }
+        }
+      }
+      .toDF("conv_id", "record_idx", "record", "n_lines")
+  }
+
+  /** Declarative boundary column. Only `ContinueThrough` and `HaltBefore`
+    * (without StartPattern) have lag-1-Markovian boundaries: in both, the
+    * closing line itself starts the next record, so "row starts a record"
+    * is a pure function of the current row (and first-ness). In
+    * `ContinuePast`/`HaltWith` the closing line is *absorbed* into the
+    * record, and the reference's empty-buffer branch
+    * (multline_reader.go:147-169) never closes — making boundaries depend
+    * on run-length parity (e.g. HaltWith over all-matching lines pairs
+    * them up). Those two modes require the FSM formulation.
+    */
+  def boundaryCol(mode: MultilineMode, condRe: String): Column = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val m = col("text").rlike(condRe)
+    val first = lag(col("text"), 1).over(w).isNull
+    mode match {
+      case ContinueThrough => first || !m // non-matching line starts a record
+      case HaltBefore      => first || m  // matching line starts a record
+      case other => throw new IllegalArgumentException(
+        s"$other boundaries are not lag-expressible; use assembleFsm")
+    }
+  }
+
+  /** Window formulation (ContinueThrough/HaltBefore, no StartPattern):
+    * segment id = running sum of boundaries; records = per-(conv, segment)
+    * ordered concat. Matches [[assembleFsm]] exactly for these modes
+    * (property-tested) and is DuckDB-oracle-expressible.
+    */
+  def assembleWindow(df: DataFrame, mode: MultilineMode, condRe: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select("conv_id", "turn_idx", "text")
+      .withColumn("seg", sum(when(boundaryCol(mode, condRe), 1).otherwise(0)).over(w) - 1)
+      .groupBy(col("conv_id"), col("seg").cast("int").as("record_idx"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          s => s.getField("text")), "\n").as("record"),
+        count(lit(1)).cast("int").as("n_lines"))
+  }
+}

@@ -65,21 +65,20 @@ object Transcripts {
     * that consumes transcripts. Must produce byte-identical values.
     */
   val eventsCte: String =
-    """WITH transcripts AS (
+    """WITH transcripts_ev AS (
       |  SELECT
+      |    event_id,
       |    'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INTEGER) AS turn_idx,
       |    CASE WHEN event_type IN ('click','view') THEN 'user'
       |         WHEN event_type = 'signup' THEN 'assistant'
       |         ELSE 'tool' END AS role,
       |    CASE WHEN event_type IN ('purchase','error')
-      |         THEN (CASE WHEN event_type IN ('purchase','error')
-      |                    THEN 'CALL tool=' || event_type || '_t' || CAST(event_id % 4 AS VARCHAR)
-      |                         || ' k=' || CAST(event_id % 100 AS VARCHAR)
-      |                         || ' note="lvl ' || CAST(event_id % 5 AS VARCHAR)
-      |                         || '" dur=' || CAST(event_id % 997 AS VARCHAR)
-      |                         || 'ms status=' || (CASE WHEN event_id % 7 = 0 THEN 'err' ELSE 'ok' END)
-      |                    ELSE '' END)
+      |         THEN 'CALL tool=' || event_type || '_t' || CAST(event_id % 4 AS VARCHAR)
+      |              || ' k=' || CAST(event_id % 100 AS VARCHAR)
+      |              || ' note="lvl ' || CAST(event_id % 5 AS VARCHAR)
+      |              || '" dur=' || CAST(event_id % 997 AS VARCHAR)
+      |              || 'ms status=' || (CASE WHEN event_id % 7 = 0 THEN 'err' ELSE 'ok' END)
       |         WHEN event_type = 'signup' THEN 'INFO step ' || CAST(event_id AS VARCHAR) || ' ' || props
       |         ELSE (CASE WHEN event_id % 13 = 0 THEN ''
       |               ELSE 'ask ' || CAST(event_id AS VARCHAR) || ' ' || props END)
@@ -89,6 +88,9 @@ object Transcripts {
       |         ELSE '' END AS tool,
       |    ts
       |  FROM events
+      |),
+      |transcripts AS (
+      |  SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_ev
       |)
       |""".stripMargin
 
