@@ -1,0 +1,160 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.checkpoint.{Fingerprint, LineageEntry, LineageStore}
+import graft.functions.KvParse
+import graft.model.PipelineConfig
+import graft.operators.{Enrich, Parse, Route}
+import graft.sources.TranscriptTable
+
+/** One pipeline run = freader's collector loop re-expressed as a batch:
+  *
+  *  1. discovery     — manifest listing of the current snapshot (S1/S5);
+  *                     "what's new" = snapshot files minus lineage-committed
+  *                     files (the offset-restore left join, J3)
+  *  2. fingerprint   — recompute each committed file's content hash; a
+  *                     mismatch invalidates that file's lineage and
+  *                     reprocesses it from scratch (S9)
+  *  3. removal       — lineage entries whose files left the manifest are
+  *                     pruned (J4 set-difference → offset Delete)
+  *  4. process       — parse → enrich → route, computed once and persisted
+  *                     so every sink and every count derives from the same
+  *                     fan-out (consistent-fan-out requirement, SURVEY §4)
+  *  5. deliver       — per-sink filtered writes to
+  *                     `<outDir>/<sink>/batch=<id>/route_key=…`; the batch
+  *                     id is a pure function of the input file set, and a
+  *                     write is skipped if its directory already exists —
+  *                     idempotent replay, so the crash window between sink
+  *                     write and lineage commit yields no duplicates
+  *  6. commit        — per-(file, sink) lineage rows written atomically
+  *                     AFTER all sink writes succeeded, mirroring "offset
+  *                     saved only after the callback batch completed"
+  *                     (internal/collector/collector.go:104-117)
+  */
+object Pipeline {
+
+  final case class RunReport(
+      runId: String,
+      snapshotId: Long,
+      processedFiles: Seq[String],
+      invalidatedFiles: Seq[String],
+      prunedFiles: Seq[String],
+      perSinkDelivered: Map[String, Long],
+      inputRows: Long,
+      blankRows: Long)
+
+  /** Deterministic batch id from the set of input files — replay-stable. */
+  def batchId(files: Seq[String]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    files.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  def run(
+      spark: SparkSession,
+      table: TranscriptTable,
+      lineage: LineageStore,
+      cfg: PipelineConfig,
+      outDir: String): RunReport = {
+
+    cfg.validate().left.foreach(err => throw new IllegalArgumentException(err))
+    KvParse.register(spark)
+    val runId = java.util.UUID.randomUUID().toString.take(12)
+
+    val snapId = table.currentSnapshotId.getOrElse(
+      return RunReport(runId, -1L, Nil, Nil, Nil, Map.empty, 0L, 0L))
+    val files = table.filesAt(snapId)
+
+    // J4: prune lineage of vanished files
+    val pruned = lineage.pruneTo(files.toSet).map(_.file).distinct
+
+    // S9: validate fingerprints of committed files; collect invalidated.
+    // Resolution is last-writer-wins per (file, sink) — a reprocessed file's
+    // fresh entries supersede its stale ones.
+    val committed = lineage.readAll()
+      .groupBy(e => (e.file, e.sink))
+      .map { case (_, es) => es.maxBy(_.committedAtMs) }
+      .toSeq
+    val sinkNames = cfg.sinks.map(_.name).toSet
+    val hashByFile = committed.groupBy(_.file)
+      .map { case (f, es) => f -> es.maxBy(_.committedAtMs).contentHash }
+    val currentHash = files.filter(hashByFile.contains)
+      .map(f => f -> Fingerprint.ofFile(spark, f)).toMap
+    val invalidated = currentHash.collect {
+      case (f, h) if h != hashByFile(f) => f
+    }.toSeq.sorted
+
+    // a file is done only if every configured sink has a lineage row for it
+    // (and its fingerprint still matches)
+    val doneFiles = committed.groupBy(_.file).collect {
+      case (f, es) if sinkNames.subsetOf(es.map(_.sink).toSet) &&
+        !invalidated.contains(f) => f
+    }.toSet
+
+    val todo = files.filterNot(doneFiles.contains).sorted
+    if (todo.isEmpty)
+      return RunReport(runId, snapId, Nil, invalidated, pruned, Map.empty, 0L, 0L)
+
+    // fingerprint the inputs once: used both for the idempotency key (a
+    // reprocessed file with NEW content must land in a NEW batch dir) and
+    // for the lineage rows
+    val fps = todo.map(f => f -> currentHash.getOrElse(f, Fingerprint.ofFile(spark, f))).toMap
+    val bid = batchId(todo.map(f => s"$f:${fps(f)}"))
+    val src = spark.read.parquet(todo: _*)
+      .withColumn("src_file", input_file_name())
+
+    // process once; all sinks derive from this one persisted fan-out
+    val routed = Route.routed(Enrich.enrich(Parse.parseTurns(src)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val acc = src.agg(
+        count(lit(1)),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L))).head()
+      val (inputRows, blankRows) = (acc.getLong(0), Option(acc.get(1)).fold(0L)(_.asInstanceOf[Long]))
+
+      val fsRoot = new Path(outDir)
+      val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+      // deliver per sink (idempotent via batch dir existence), then count
+      // per (sink, src_file) for lineage
+      val perFileCounts = cfg.sinks.map { rule =>
+        val sinkDf = Route.forSink(routed, rule)
+        val dest = new Path(fsRoot, s"${rule.name}/batch=$bid")
+        if (!fs.exists(dest)) {
+          val staging = new Path(fsRoot, s"_staging-${rule.name}-$bid-$runId")
+          sinkDf.select(col("ts"), col("host"), col("route_key"),
+              col("text").as("message"), col("conv_id"), col("turn_idx"), col("src_file"))
+            .write.mode("overwrite").partitionBy("route_key")
+            .parquet(staging.toString)
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(staging, dest), s"sink commit rename failed for ${rule.name}")
+        }
+        // key counts by basename: input_file_name() is a qualified URI while
+        // manifest paths may be scheme-less, but data-file names are unique
+        // (uuid-prefixed by SnapshotTable.append)
+        val counts = sinkDf.groupBy(substring_index(col("src_file"), "/", -1).as("fname"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        rule.name -> counts
+      }.toMap
+
+      val now = System.currentTimeMillis()
+      val entries = for {
+        (sink, counts) <- perFileCounts.toSeq
+        file <- todo
+      } yield LineageEntry(runId, snapId, file, sink,
+        counts.getOrElse(new Path(file).getName, 0L), fps(file), now)
+      lineage.commit(entries)
+
+      RunReport(runId, snapId, todo, invalidated, pruned,
+        perFileCounts.map { case (s, m) => s -> m.values.sum },
+        inputRows, blankRows)
+    } finally routed.unpersist()
+  }
+}

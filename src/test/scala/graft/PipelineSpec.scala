@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.checkpoint.LineageStore
+import graft.model.{PipelineConfig, SinkRule}
+import graft.sources.{SnapshotTable, Transcripts}
+
+/** Resume semantics, mirroring the reference restart suite
+  * (internal/collector/collector_test.go:423-533 offset persistence,
+  * :691-963 restart no-loss with exact delivered sequences).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = PipelineConfig(sinks = Seq(
+    SinkRule("all"),
+    SinkRule("errors", include = Seq("status=err"))))
+
+  private def tmp(): String = Files.createTempDirectory("graft-pipe").toString
+
+  private def sinkRows(outDir: String, sink: String): Long = {
+    val p = new Path(s"$outDir/$sink")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else spark.read.parquet(p.toString).count()
+  }
+
+  test("run → append → resume delivers exactly the delta; totals equal a from-scratch run") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    val out = s"$root/sinks"
+
+    val batch1 = Transcripts.synthesize(spark, numConvs = 20, turnsPerConv = 10).toDF()
+    table.append(batch1)
+    val r1 = Pipeline.run(spark, table, lineage, cfg, out)
+    assert(r1.processedFiles.nonEmpty)
+    assert(r1.inputRows == 200)
+
+    // no new data → no-op
+    val r1b = Pipeline.run(spark, table, lineage, cfg, out)
+    assert(r1b.processedFiles.isEmpty)
+
+    // append a second snapshot; only the delta is processed
+    val batch2 = Transcripts.synthesize(spark, numConvs = 7, turnsPerConv = 10).toDF()
+      .withColumn("conv_id", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("b2-"), $"conv_id"))
+    table.append(batch2)
+    val r2 = Pipeline.run(spark, table, lineage, cfg, out)
+    assert(r2.inputRows == 70)
+    assert(r2.processedFiles.toSet.intersect(r1.processedFiles.toSet).isEmpty)
+
+    // totals equal a from-scratch run over the same content
+    val root2 = tmp()
+    val table2 = new SnapshotTable(spark, s"$root2/table")
+    table2.append(batch1.unionByName(batch2))
+    val lineage2 = new LineageStore(spark, s"$root2/lineage")
+    val rAll = Pipeline.run(spark, table2, lineage2, cfg, s"$root2/sinks")
+    assert(sinkRows(out, "all") == sinkRows(s"$root2/sinks", "all"))
+    assert(sinkRows(out, "errors") == sinkRows(s"$root2/sinks", "errors"))
+    assert(r1.perSinkDelivered("all") + r2.perSinkDelivered("all") == rAll.perSinkDelivered("all"))
+
+    // lineage accounting equals what landed in the sink directories
+    val entries = lineage.readAll()
+    assert(entries.filter(_.sink == "all").map(_.rowsDelivered).sum == sinkRows(out, "all"))
+    assert(entries.filter(_.sink == "errors").map(_.rowsDelivered).sum == sinkRows(out, "errors"))
+  }
+
+  test("content-hash mismatch invalidates and reprocesses the changed file") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    val out = s"$root/sinks"
+
+    table.append(Transcripts.synthesize(spark, numConvs = 5, turnsPerConv = 6).toDF())
+    val r1 = Pipeline.run(spark, table, lineage, cfg, out)
+    assert(r1.processedFiles.nonEmpty)
+
+    // rewrite one committed data file in place (rotation/truncation analogue)
+    val victim = r1.processedFiles.head
+    val replacement = Transcripts.synthesize(spark, numConvs = 2, turnsPerConv = 3).toDF()
+    val tmpOut = s"$root/replacement"
+    replacement.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val fs = new Path(victim).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPart = fs.listStatus(new Path(tmpOut))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(new Path(victim), false)
+    require(fs.rename(newPart, new Path(victim)))
+
+    val r2 = Pipeline.run(spark, table, lineage, cfg, out)
+    assert(r2.invalidatedFiles == Seq(victim))
+    assert(r2.processedFiles == Seq(victim))
+    // lineage now reflects the new content's hash for the victim
+    val r3 = Pipeline.run(spark, table, lineage, cfg, out)
+    assert(r3.processedFiles.isEmpty && r3.invalidatedFiles.isEmpty)
+  }
+
+  test("snapshot isolation: read-at-snapshot pins the file list") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val s1 = table.append(Transcripts.synthesize(spark, 3, 4).toDF())
+    val s2 = table.append(Transcripts.synthesize(spark, 2, 4).toDF()
+      .withColumn("conv_id", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x-"), $"conv_id")))
+    assert(table.read(spark, s1).count() == 12)
+    assert(table.read(spark, s2).count() == 20)
+    assert(table.currentSnapshotId.contains(s2))
+    assert(table.filesAt(s1).toSet.subsetOf(table.filesAt(s2).toSet))
+  }
+
+  test("removed files are pruned from lineage (offset delete analogue)") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    table.append(Transcripts.synthesize(spark, 4, 5).toDF())
+    Pipeline.run(spark, table, lineage, cfg, s"$root/sinks")
+    val before = lineage.readAll().map(_.file).distinct
+
+    // simulate compaction: a new manifest without one of the files
+    val current = table.currentSnapshotId.get
+    val keep = table.filesAt(current).tail
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(s"$root/table/manifests/manifest-${"%012d".format(current + 1)}.txt")
+    val outS = fs.create(manifest, true)
+    outS.write(((current + 1).toString +: keep).mkString("\n").getBytes("UTF-8"))
+    outS.close()
+
+    val r = Pipeline.run(spark, table, lineage, cfg, s"$root/sinks")
+    assert(r.prunedFiles == before.diff(keep))
+    assert(lineage.readAll().map(_.file).distinct.toSet == keep.toSet)
+  }
+}
