@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.KvParse
+import graft.functions.{KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{Enrich, Parse, Route, Segments}
+import graft.operators.{Dedup, Enrich, Multimodal, Parse, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -175,8 +175,121 @@ object Queries {
     // S8: separator split + explode (blob-ingestion parity)
     "q_split_explode" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
-        explode(split(col("text"), " ")).as("word")))
+        explode(split(col("text"), " ")).as("word"))),
+
+    // ------------------------------------------------ training-data operators
+
+    // exact dedup: hash-groupBy, keep lowest id
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val withCopies = d.unionByName(
+        d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.exact(withCopies, "doc_id", "text")
+    }),
+
+    // n-gram Jaccard near-dup (exact all-pairs via inverted index)
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(nearDupFixture(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)
+        .select(col("a"), col("b"), TextAnalysis.r6(col("jaccard")).as("jaccard"))),
+
+    // MinHash + banded LSH near-dup (sha-hash variant so DuckDB can
+    // reproduce the exact signatures; engine default is xxhash64)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(nearDupFixture(s, dir), "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6,
+        hashFn = Dedup.shaHash)
+        .select(col("a"), col("b"), TextAnalysis.r6(col("jaccard")).as("jaccard"))),
+
+    // SimHash near-dup pairs (native expression; model-checked in tests)
+    "q_dedup_simhash" -> ((s, dir) => {
+      SimHash.register(s)
+      Dedup.simhashPairs(nearDupFixture(s, dir), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_knn_brute" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+    }),
+
+    // LSH-bucketed ANN (scale path; recall vs brute force asserted in tests)
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, bands = 24, planesPerBand = 4)
+    }),
+
+    // language ID (stopword-hit heuristic)
+    "q_lang_id" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    // quality scoring
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.quality(documents(s, dir))
+        .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+          "stopword_ratio", "quality_score")),
+
+    // token counting (whitespace + BPE-ish estimate)
+    "q_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(documents(s, dir))
+        .select("doc_id", "ws_tokens", "bpe_est_tokens")),
+
+    // document fingerprint (min-hash-of-shingles content signature)
+    "q_doc_fingerprint" -> ((s, dir) =>
+      documents(s, dir)
+        .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 5)
+        .select(col("doc_id"), TextAnalysis.docFingerprint(col("text"), 5).as("fp"))),
+
+    // multimodal: binary column features (SQL-expressible projection)
+    "q_binary_features" -> ((s, dir) =>
+      Multimodal.binaryFeatures(Multimodal.mediaFromDocuments(documents(s, dir)))),
+
+    // sessionization over the events stream table (gap > 30 min)
+    "q_events_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      events(s, dir)
+        .withColumn("gap_us", tsUs - lag(tsUs, 1).over(w))
+        .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("is_new")).over(wRun).cast("int"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    })
   )
+
+  /** Near-duplicate fixture: documents plus, for long-enough docs with
+    * doc_id < 100, a copy with two appended tokens (true near-dup).
+    * Mirrored exactly by [[nearDupCte]].
+    */
+  private def nearDupFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") < 100 &&
+          size(split(lower(trim(col("text"))), "\\s+")) >= 12)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" tail tail")).as("text")))
+  }
+
+  private val nearDupCte: String =
+    """WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' tail tail' AS text
+      |  FROM documents
+      |  WHERE doc_id < 100 AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 12
+      |),
+      |dsh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM docs2)
+      |  WHERE len(t) >= 3
+      |)
+      |""".stripMargin
 
   // ------------------------------------------------------------------ oracle side
 
@@ -191,6 +304,24 @@ object Queries {
       |  FROM transcripts WHERE length(text) > 0
       |)
       |""".stripMargin
+
+  /** Stopword-hit scores per language, generated from the same tables the
+    * Spark side uses (TextAnalysis.stopwords) so they cannot drift.
+    */
+  private val langCte: String = {
+    val hits = TextAnalysis.stopwords.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(t, x -> list_contains($list, x))) AS h_$l"
+    }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang, text, t,
+       |    $hits
+       |  FROM toks)
+       |""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_transcripts" -> (cte + "SELECT * FROM transcripts"),
@@ -305,7 +436,106 @@ object Queries {
         |WHERE length(text) >= 64 AND len(string_split(text, ' ')) > 3""".stripMargin,
 
     "q_split_explode" ->
-      "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+
+    "q_dedup_exact" ->
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30)
+        |SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM d2 GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram" -> (nearDupCte +
+      """, inv AS (SELECT id, unnest(sh) AS s FROM dsh),
+        |pairs AS (SELECT l.id AS a, r.id AS b, count(*) AS inter
+        |          FROM inv l JOIN inv r ON l.s = r.s AND l.id < r.id GROUP BY 1, 2)
+        |SELECT a, b, floor((CAST(inter AS DOUBLE) / (len(da.sh) + len(db.sh) - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM pairs JOIN dsh da ON da.id = a JOIN dsh db ON db.id = b
+        |WHERE CAST(inter AS DOUBLE) / (len(da.sh) + len(db.sh) - inter) >= 0.6""".stripMargin),
+
+    "q_dedup_minhash" -> (nearDupCte +
+      """, sigs AS (
+        |  SELECT id, i, min(substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 16)) AS mh
+        |  FROM (SELECT id, unnest(sh) AS s FROM dsh), range(8) r(i)
+        |  GROUP BY id, i),
+        |bands AS (
+        |  SELECT id, i // 2 AS band, sha256(string_agg(mh, ',' ORDER BY i)) AS bhash
+        |  FROM sigs GROUP BY id, i // 2),
+        |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+        |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id)
+        |SELECT a, b, floor((CAST(inter AS DOUBLE) / (sza + szb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard FROM (
+        |  SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS inter,
+        |         len(da.sh) AS sza, len(db.sh) AS szb
+        |  FROM cand c JOIN dsh da ON da.id = c.a JOIN dsh db ON db.id = c.b) v
+        |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6""".stripMargin),
+
+    "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    floor((list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) * 1000000 + 0.5) / 1000000 AS cosine
+        |  FROM q, e c WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored) s WHERE rank <= 5""".stripMargin,
+
+    "q_lang_id" -> (langCte +
+      """SELECT doc_id, lang,
+        |  CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'unknown'
+        |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+        |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+        |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+        |       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM sc""".stripMargin),
+
+    "q_quality" -> (langCte +
+      """SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, mean_token_len,
+        |  punct_ratio, stopword_ratio,
+        |  floor((CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+        |    least(1.0, n_tokens / 64.0) * 0.5
+        |    + least(1.0, stopword_ratio * 4) * 0.3
+        |    + (1.0 - least(1.0, punct_ratio * 5)) * 0.2 END) * 1000000 + 0.5) / 1000000 AS quality_score
+        |FROM (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    floor((CASE WHEN len(t) > 0 THEN CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS mean_token_len,
+        |    floor((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+        |    floor((CASE WHEN len(t) > 0 THEN CAST(h_en AS DOUBLE) / len(t) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS stopword_ratio
+        |  FROM sc) r""".stripMargin),
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS ws_tokens,
+        |  CAST(greatest(
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |    CAST(ceil(length(text) / 4.0) AS INTEGER)) AS INTEGER) AS bpe_est_tokens
+        |FROM documents""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min([sha256(array_to_string(t[i:i+4], ' ')) FOR i IN range(1, len(t) - 3)]) AS fp
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)
+        |WHERE len(t) >= 5""".stripMargin,
+
+    "q_binary_features" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS sha, lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+        |FROM documents""".stripMargin,
+
+    "q_events_sessionize" ->
+      """SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+        |  count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end FROM (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |    FROM events) a) b GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared window-formulation oracle body; `boundaryExpr` decides whether

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SimHash, SimHashHelper}
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = (0 until 60).map { i =>
+      // unique leading token prevents accidental exact collisions; the
+      // shared vocabulary keeps shingle overlap realistic
+      val words = s"doc$i" +: (0 until 20).map(j => s"w${(i * 7 + j * 13) % 40}")
+      (i.toLong, words.mkString(" "))
+    }
+    // plant: exact dup of doc 3, near-dup of doc 5 (two words appended)
+    val planted = Seq(
+      (1003L, base(3)._2),
+      (1005L, base(5)._2 + " tail tail"))
+    (base ++ planted).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups exact copies only") {
+    val groups = Dedup.exact(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).as[(String, Long, Long)].collect()
+    assert(groups.map(g => (g._2, g._3)).toSet == Set((3L, 2L)))
+  }
+
+  test("ngram jaccard finds the planted near-dup (and the exact dup)") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1003L)))
+    assert(pairs.contains((5L, 1005L)))
+  }
+
+  test("minhash LSH (engine xxhash64 path) verifies the same pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // LSH candidates are verified with exact jaccard => lsh ⊆ exact;
+    // with 8 bands the planted pairs must be recalled
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((3L, 1003L)) && lsh.contains((5L, 1005L)))
+  }
+
+  test("simhash: expression equals model; identical docs at distance 0; near-dups close") {
+    SimHash.register(spark)
+    val got = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val model = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> SimHashHelper.simhash(t) }.toMap
+    assert(got == model)
+    assert(java.lang.Long.bitCount(got(3L) ^ got(1003L)) == 0)
+    // near-dup is markedly closer than an unrelated doc (simhash is noisy
+    // on short docs; exact radius guarantees only hold for tiny edits)
+    val nearDist = java.lang.Long.bitCount(got(5L) ^ got(1005L))
+    val farDist = java.lang.Long.bitCount(got(5L) ^ got(40L))
+    assert(nearDist < farDist, s"near=$nearDist far=$farDist")
+  }
+
+  test("simhashPairs finds exact copies within hamming radius") {
+    SimHash.register(spark)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1003L)))
+  }
+
+  test("embedding cosine near-dup finds planted duplicate vector") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
+    } :+ (500L, (0 until 16).map(d => math.sin(7 * 16 + d).toFloat).toArray)
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", minCosine = 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((7L, 500L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("brute-force knn: k rows per query, ranked, no self-pairs") {
+    val q = emb.filter($"vec_id" < 4)
+    val res = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 7)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.length == 4 * 7)
+    assert(res.forall { case (qid, nid, _, _) => qid != nid })
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 7))
+      // cosine non-increasing with rank
+      assert(sorted.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    }
+  }
+
+  test("lsh knn: recall of top-5 vs brute force is usable (>= 0.5)") {
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshKnn(emb, q, "vec_id", "embedding",
+      k = 5, bands = 24, planesPerBand = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // lsh scores, where present, agree with brute-force scores exactly
+    val bScores = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lScores = Similarity.lshKnn(emb, q, "vec_id", "embedding",
+      k = 5, bands = 24, planesPerBand = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    lScores.keySet.intersect(bScores.keySet).foreach { k2 =>
+      assert(lScores(k2) == bScores(k2))
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(3)
+    val res = Similarity.bruteForceKnn(
+      one.withColumn("vec_id", $"vec_id" + 1000000), one, "vec_id", "embedding", k = 3)
+    // shifted ids make self-pairs non-self; the identical vector must rank 1 with cosine 1
+    val top = res.filter($"rank" === 1).as[(Long, Long, Double, Int)].collect()
+    assert(top.forall { case (qid, nid, cos, _) => nid == qid + 1000000 && cos == 1.0 })
+  }
+}
