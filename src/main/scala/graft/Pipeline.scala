@@ -5,7 +5,6 @@ import java.security.MessageDigest
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.checkpoint.{Fingerprint, LineageEntry, LineageStore}
 import graft.functions.KvParse
@@ -109,10 +108,18 @@ object Pipeline {
     val src = spark.read.parquet(todo: _*)
       .withColumn("src_file", input_file_name())
 
-    // process once; all sinks derive from this one persisted fan-out
+    // One logical fan-out; every sink and count derives from this plan.
+    // NOT persisted: the source is a pinned snapshot of immutable files, so
+    // recomputation is deterministic (consistency comes from snapshot
+    // isolation, not caching) — and measured cache build+read here is
+    // slower than re-running the codegen'd parse. For a non-snapshot
+    // source, stage this projection to parquet once instead.
     val routed = Route.routed(Enrich.enrich(Parse.parseTurns(src)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+      .select(col("ts"), col("host"), col("route_key"), col("text"),
+        col("conv_id"), col("turn_idx"), col("verb"), col("dur_ms"),
+        col("status"), col("tool_family"), col("src_file"))
+
+    locally {
       val acc = src.agg(
         count(lit(1)),
         sum(when(length(col("text")) === 0, 1L).otherwise(0L))).head()
@@ -121,40 +128,51 @@ object Pipeline {
       val fsRoot = new Path(outDir)
       val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-      // deliver per sink (idempotent via batch dir existence), then count
-      // per (sink, src_file) for lineage
-      val perFileCounts = cfg.sinks.map { rule =>
-        val sinkDf = Route.forSink(routed, rule)
+      // deliver per sink (idempotent via batch dir existence)
+      cfg.sinks.foreach { rule =>
         val dest = new Path(fsRoot, s"${rule.name}/batch=$bid")
         if (!fs.exists(dest)) {
           val staging = new Path(fsRoot, s"_staging-${rule.name}-$bid-$runId")
-          sinkDf.select(col("ts"), col("host"), col("route_key"),
-              col("text").as("message"), col("conv_id"), col("turn_idx"), col("src_file"))
+          Route.forSink(routed, rule)
+            .select(col("ts"), col("host"), col("route_key"),
+              col("text").as("message"), col("conv_id"), col("turn_idx"),
+              col("verb"), col("dur_ms"), col("status"), col("tool_family"),
+              col("src_file"))
             .write.mode("overwrite").partitionBy("route_key")
             .parquet(staging.toString)
           fs.mkdirs(dest.getParent)
           require(fs.rename(staging, dest), s"sink commit rename failed for ${rule.name}")
         }
-        // key counts by basename: input_file_name() is a qualified URI while
-        // manifest paths may be scheme-less, but data-file names are unique
-        // (uuid-prefixed by SnapshotTable.append)
-        val counts = sinkDf.groupBy(substring_index(col("src_file"), "/", -1).as("fname"))
-          .agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        rule.name -> counts
-      }.toMap
+      }
+      // per-(sink, src_file) delivered counts in ONE scan for lineage.
+      // Counts key by basename: input_file_name() is a qualified URI while
+      // manifest paths may be scheme-less, but data-file names are unique
+      // (uuid-prefixed by SnapshotTable.append).
+      val perFileCounts: Map[String, Map[String, Long]] = routed
+        .select(substring_index(col("src_file"), "/", -1).as("fname"),
+          explode(Route.acceptingSinks(cfg.sinks, col("text"))).as("sink"))
+        .groupBy("sink", "fname").agg(count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (sink, rows) =>
+          sink -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
 
       val now = System.currentTimeMillis()
+      // iterate cfg.sinks (not perFileCounts keys): a sink that delivered
+      // zero rows still needs lineage entries, else its files would be
+      // retried forever
       val entries = for {
-        (sink, counts) <- perFileCounts.toSeq
+        rule <- cfg.sinks
         file <- todo
-      } yield LineageEntry(runId, snapId, file, sink,
-        counts.getOrElse(new Path(file).getName, 0L), fps(file), now)
+      } yield LineageEntry(runId, snapId, file, rule.name,
+        perFileCounts.getOrElse(rule.name, Map.empty)
+          .getOrElse(new Path(file).getName, 0L), fps(file), now)
       lineage.commit(entries)
 
       RunReport(runId, snapId, todo, invalidated, pruned,
-        perFileCounts.map { case (s, m) => s -> m.values.sum },
+        cfg.sinks.map(r => r.name ->
+          perFileCounts.getOrElse(r.name, Map.empty).values.sum).toMap,
         inputRows, blankRows)
-    } finally routed.unpersist()
+    }
   }
 }

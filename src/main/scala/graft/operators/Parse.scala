@@ -24,13 +24,22 @@ object Parse {
     */
   def parseTurns(df: DataFrame): DataFrame = {
     val text = col("text")
+    // Cheap prefix gate before the expensive regex/tokenizer work: only tool
+    // invocations carry these fields (the reference's parser also matches
+    // the header first — audit.go:52). startsWith is a zero-alloc
+    // UTF8String compare inside codegen; CaseWhen short-circuits per row.
+    val isCall = text.startsWith("CALL ")
     df
       .withColumn("verb", regexp_extract(text, "^([A-Za-z]+)", 1))
-      .withColumn("tool_x", regexp_extract(text, "tool=([A-Za-z0-9_]+)", 1))
+      .withColumn("tool_x",
+        when(isCall, regexp_extract(text, "tool=([A-Za-z0-9_]+)", 1)).otherwise(lit("")))
       .withColumn("dur_ms",
-        nullif(regexp_extract(text, "dur=(\\d+)ms", 1), lit("")).cast("long"))
-      .withColumn("status", nullif(regexp_extract(text, "status=(\\w+)", 1), lit("")))
-      .withColumn("kv", call_function("kv_parse", text))
+        when(isCall, nullif(regexp_extract(text, "dur=(\\d+)ms", 1), lit("")).cast("long")))
+      .withColumn("status",
+        when(isCall, nullif(regexp_extract(text, "status=(\\w+)", 1), lit(""))))
+      .withColumn("kv",
+        when(isCall, call_function("kv_parse", text))
+          .otherwise(typedLit(Map.empty[String, String])))
   }
 
   /** `parseTurns` variant for SQL-oracle checks: same columns minus the map

@@ -93,6 +93,12 @@ object Segments {
 
     /** Drain records completed so far without flushing the open buffer. */
     def drain(): Seq[String] = { val r = out.toSeq; out.clear(); r }
+
+    /** Open-buffer snapshot/restore — lets the FSM resume across streaming
+      * micro-batches (the buffer is the only carried state).
+      */
+    def bufferLines: Seq[String] = buf.toSeq
+    def restoreBuffer(lines: Seq[String]): Unit = { buf.clear(); buf ++= lines }
   }
 
   /** Run one conversation's lines (already in turn order) through the FSM,

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{MultilineMode, MultilineSpec, Turn}
+import graft.streaming.TranscriptStream
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def turn(conv: String, idx: Int, text: String): Turn =
+    Turn(conv, idx, "assistant", text, "", new Timestamp(1700000000000L + idx * 60000L))
+
+  test("stateful multiline assembly across micro-batches keeps the open buffer") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val spec = MultilineSpec(MultilineMode.HaltBefore, "^(INFO|CALL)")
+    val q = TranscriptStream.assembleStream(in.toDS(), spec)
+      .writeStream.format("memory").queryName("seg_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: record opens but does not close
+      in.addData(turn("c1", 0, "INFO a"), turn("c1", 1, "detail 1"))
+      q.processAllAvailable()
+      assert(spark.table("seg_out").count() == 0)
+
+      // batch 2: a new header closes the first record; buffer carries over
+      in.addData(turn("c1", 2, "detail 2"), turn("c1", 3, "INFO b"), turn("c1", 4, "d3"))
+      q.processAllAvailable()
+      val rows = spark.table("seg_out")
+        .as[(String, Int, String)].collect().toSet
+      assert(rows == Set(("c1", 0, "INFO a\ndetail 1\ndetail 2")))
+
+      // batch 3: another conversation interleaves independently
+      in.addData(turn("c2", 0, "INFO x"), turn("c2", 1, "INFO y"))
+      q.processAllAvailable()
+      val rows2 = spark.table("seg_out").as[(String, Int, String)].collect().toSet
+      assert(rows2 == Set(
+        ("c1", 0, "INFO a\ndetail 1\ndetail 2"),
+        ("c2", 0, "INFO x")))
+    } finally q.stop()
+  }
+
+  test("windowed tool usage with watermark over a streaming source") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = TranscriptStream.windowedToolUsage(in.toDS().toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1700000000000L
+      in.addData(
+        Turn("c1", 0, "tool", "CALL tool=exec", "exec", new Timestamp(base)),
+        Turn("c1", 1, "tool", "CALL tool=exec", "exec", new Timestamp(base + 5 * 60000L)),
+        Turn("c1", 2, "tool", "CALL tool=read", "read", new Timestamp(base + 12 * 60000L)))
+      q.processAllAvailable()
+      // advance watermark far enough to close the earlier windows
+      in.addData(Turn("c9", 0, "tool", "CALL tool=plan", "plan",
+        new Timestamp(base + 120 * 60000L)))
+      q.processAllAvailable()
+      // 10-min windows align to the epoch: base mod 600000 = 200000, so the
+      // first window starts at base-200000 and covers both exec calls
+      val rows = spark.table("win_out")
+        .as[(Timestamp, String, Long)].collect()
+        .map(r => (r._1.getTime - base, r._2, r._3)).toSet
+      assert(rows.contains((-200000L, "exec", 2L)))
+      assert(rows.contains((400000L, "read", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateless parse+route stages compose onto a stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val routed = TranscriptStream.parseAndRoute(in.toDS().toDF())
+    val q = routed.writeStream.format("memory").queryName("route_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        turn("c1", 0, "ask something"),
+        Turn("c1", 1, "tool", "CALL tool=exec k=1 dur=5ms status=ok", "exec",
+          new Timestamp(1700000000000L)),
+        turn("c1", 2, ""))
+      q.processAllAvailable()
+      val keys = spark.table("route_out").select("route_key")
+        .as[String].collect().sorted.toSeq
+      // blank row dropped; tool row fans out to role: + tool:
+      assert(keys == Seq("role:assistant", "role:tool", "tool:exec"))
+    } finally q.stop()
+  }
+}
