@@ -19,7 +19,7 @@ import graft.sources.Transcripts
   *     stand-in for N vs 4N executors). Each level runs `iters` times and
   *     takes the minimum (JIT/codegen warm-up and sandbox noise produce
   *     multi-second outliers; steady-state is what a long-running cluster
-  *     job sees). Defaults: N=2 vs 4N=8, both below this single node's
+  *     job sees). Defaults: N=4 vs 4N=16, both below this single node's
   *     memory-bandwidth ceiling — measured separately and reported as
   *     `max_cores_rows_per_sec` — because a real 4N-executor cluster
   *     multiplies memory buses with cores, while a single box does not;
@@ -34,6 +34,12 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // the synthesized bench table is ~64 small files; the default 128MB
+      // maxPartitionBytes would coalesce them into ~3 input splits and cap
+      // the scan at 3 tasks no matter how many cores — size splits so every
+      // core gets work (on a real 100TB table the default is correct)
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -59,10 +65,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "10000000").toLong
-    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "4000000").toLong
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
     val hiCores = loCores * 4
-    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "4").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
     val turnsPath = sys.env.getOrElse("SPARK_GRAFT_TURNS_PATH", "/tmp/graft-bench-turns")
 
     // ---- part 1: per-query timings at the configured parallelism

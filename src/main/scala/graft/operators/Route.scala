@@ -97,4 +97,17 @@ object Route {
       .write.mode("overwrite")
       .partitionBy("route_key")
       .parquet(s"$outDir/${rule.name}")
+
+  /** JSON-lines sink flavor — the OpenSearch doc shape
+    * (cmd/freader/sink/opensearch/opensearch.go:103-108:
+    * {@timestamp, message, host, labels}); one JSON object per line.
+    */
+  def writeJsonSink(routedDf: DataFrame, rule: SinkRule, outDir: String): Unit =
+    forSink(routedDf, rule)
+      .select(to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("@timestamp"),
+        col("text").as("message"),
+        col("host"),
+        col("route_key"))).as("doc"))
+      .write.mode("overwrite").text(s"$outDir/${rule.name}")
 }

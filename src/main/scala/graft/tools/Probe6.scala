@@ -10,6 +10,8 @@ object Probe6 {
   def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.KvParse.register(s)
@@ -33,7 +35,7 @@ object Probe6 {
     Seq(2, 8, 32).foreach { cpus =>
       val s = session(cpus)
       job(s, path) // warm
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 4).map { _ =>
         val t0 = System.nanoTime(); job(s, path); (System.nanoTime() - t0) / 1e9
       }
       println(f"[probe6] cores=$cpus best=${times.min}%.2f rows/s=${(turns / times.min).toLong} all=${times.map(x => f"$x%.1f").mkString(",")}")
