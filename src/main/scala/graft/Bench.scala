@@ -19,7 +19,7 @@ import graft.sources.Transcripts
   *     stand-in for N vs 4N executors). Each level runs `iters` times and
   *     takes the minimum (JIT/codegen warm-up and sandbox noise produce
   *     multi-second outliers; steady-state is what a long-running cluster
-  *     job sees). Defaults: N=4 vs 4N=16, both below this single node's
+  *     job sees). Defaults: N=1 vs 4N=4, both below this single node's
   *     memory-bandwidth ceiling — measured separately and reported as
   *     `max_cores_rows_per_sec` — because a real 4N-executor cluster
   *     multiplies memory buses with cores, while a single box does not;
@@ -66,7 +66,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "4000000").toLong
-    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "1").toInt
     val hiCores = loCores * 4
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
     val turnsPath = sys.env.getOrElse("SPARK_GRAFT_TURNS_PATH", "/tmp/graft-bench-turns")

@@ -267,7 +267,10 @@ object Queries {
     * Mirrored exactly by [[nearDupCte]].
     */
   private def nearDupFixture(s: SparkSession, dir: String): DataFrame = {
+    // bounded at 2000 docs: the exact all-pairs verifier is quadratic in
+    // bucket size and exists as the LSH paths' ground truth, not a scale path
     val d = documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2000)
     d.unionByName(
       d.filter(col("doc_id") < 100 &&
           size(split(lower(trim(col("text"))), "\\s+")) >= 12)
@@ -277,7 +280,7 @@ object Queries {
 
   private val nearDupCte: String =
     """WITH docs2 AS (
-      |  SELECT doc_id, text FROM documents
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text || ' tail tail' AS text
       |  FROM documents

@@ -23,23 +23,19 @@ object Parse {
     * fields. All extraction is regexp_extract (whole-stage codegen).
     */
   def parseTurns(df: DataFrame): DataFrame = {
-    val text = col("text")
-    // Cheap prefix gate before the expensive regex/tokenizer work: only tool
-    // invocations carry these fields (the reference's parser also matches
-    // the header first — audit.go:52). startsWith is a zero-alloc
-    // UTF8String compare inside codegen; CaseWhen short-circuits per row.
-    val isCall = text.startsWith("CALL ")
+    // Single-pass native grok ([[graft.functions.ParseTurn]]): one byte-scan
+    // + one tokenizer run per row instead of four regexp_extracts (each of
+    // which pays a String+Matcher allocation — the allocation rate is what
+    // stops the job scaling with cores). Whole-stage codegen CSEs the
+    // repeated parse_turn(text) into one evaluation per row.
+    graft.functions.ParseTurn.register(df.sparkSession)
+    val p = call_function("parse_turn", col("text"))
     df
-      .withColumn("verb", regexp_extract(text, "^([A-Za-z]+)", 1))
-      .withColumn("tool_x",
-        when(isCall, regexp_extract(text, "tool=([A-Za-z0-9_]+)", 1)).otherwise(lit("")))
-      .withColumn("dur_ms",
-        when(isCall, nullif(regexp_extract(text, "dur=(\\d+)ms", 1), lit("")).cast("long")))
-      .withColumn("status",
-        when(isCall, nullif(regexp_extract(text, "status=(\\w+)", 1), lit(""))))
-      .withColumn("kv",
-        when(isCall, call_function("kv_parse", text))
-          .otherwise(typedLit(Map.empty[String, String])))
+      .withColumn("verb", p.getField("verb"))
+      .withColumn("tool_x", p.getField("tool"))
+      .withColumn("dur_ms", p.getField("dur_ms"))
+      .withColumn("status", p.getField("status"))
+      .withColumn("kv", p.getField("kv"))
   }
 
   /** `parseTurns` variant for SQL-oracle checks: same columns minus the map
