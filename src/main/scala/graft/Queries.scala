@@ -130,6 +130,13 @@ object Queries {
     "q_multiline_through" -> ((s, dir) =>
       Segments.assembleWindow(tx(s, dir), MultilineMode.ContinueThrough, "^(CALL|INFO|ask)")),
 
+    // A1 exact FSM formulation (repartition+sortWithinPartitions+mapPartitions);
+    // for haltBefore-without-StartPattern it is provably equal to the window
+    // formulation (SegmentsSpec property), so it shares that oracle
+    "q_multiline_fsm" -> ((s, dir) =>
+      Segments.assembleFsm(tx(s, dir),
+        graft.model.MultilineSpec(MultilineMode.HaltBefore, "^(CALL|INFO|ask)"))),
+
     // J2: broadcast enrich against the tool/role dimension
     "q_enrich" -> ((s, dir) =>
       Enrich.enrich(tx(s, dir).filter(col("tool") =!= ""))
@@ -393,6 +400,8 @@ object Queries {
     "q_multiline_haltbefore" -> (cte + multilineOracle("regexp_matches(text, '^(CALL|INFO|ask)')")),
 
     "q_multiline_through" -> (cte + multilineOracle("NOT regexp_matches(text, '^(CALL|INFO|ask)')")),
+
+    "q_multiline_fsm" -> (cte + multilineOracle("regexp_matches(text, '^(CALL|INFO|ask)')")),
 
     "q_enrich" -> (cte +
       s"""SELECT conv_id, turn_idx, tool, tool_family, tool_label, 'graft' AS host

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Enrich, Parse, Route}
+
+/** Plan-quality audit: prints formatted plans for the load-bearing queries
+  * so pushdown / pruning / broadcast / codegen spans can be inspected.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.KvParse.register(spark)
+    graft.functions.ParseTurn.register(spark)
+    val dir = "/root/testdata/sf0.01"
+
+    println("==== e2e pipeline (parse->enrich->route->sinkCounts) ====")
+    Route.sinkCounts(Route.routed(Enrich.enrich(Parse.parseTurns(
+      graft.sources.Transcripts.fromEvents(spark, dir)))), graft.Queries.demoRules)
+      .explain("formatted")
+
+    println("==== projection pushdown: 2 columns of events ====")
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "error")
+      .select("event_id", "ts").explain("formatted")
+
+    println("==== enrich join strategy ====")
+    Enrich.enrich(graft.sources.Transcripts.fromEvents(spark, dir)).explain("formatted")
+
+    println("==== knn brute (broadcast expected) ====")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5).explain("formatted")
+
+    spark.stop()
+  }
+}
