@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.checkpoint.LineageStore
+import graft.model.{PipelineConfig, SinkRule}
+import graft.sources.{SnapshotTable, Transcripts}
+
+/** spark-submit entry point:
+  *
+  *   spark-submit --class graft.Main <jar> run   <tableRoot> <lineageRoot> <outDir>
+  *   spark-submit --class graft.Main <jar> seed  <tableRoot> <numConvs> <turnsPerConv>
+  *
+  * `seed` appends a deterministic synthesized snapshot to the transcript
+  * table; `run` executes one resumable pipeline pass (the freader collector
+  * loop as a batch) and prints the run report. Repeated `run`s are
+  * incremental: only un-committed / invalidated snapshot files process.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.toList match {
+      case "seed" :: tableRoot :: numConvs :: turnsPerConv :: rest =>
+        val mega = rest.headOption.map(_.toLong).getOrElse(0L)
+        val table = new SnapshotTable(spark, tableRoot)
+        val snap = table.append(Transcripts.synthesize(
+          spark, numConvs.toLong, turnsPerConv.toInt, megaTurns = mega).toDF())
+        println(s"""{"seeded_snapshot":$snap}""")
+
+      case "run" :: tableRoot :: lineageRoot :: outDir :: Nil =>
+        val cfg = PipelineConfig(sinks = Seq(
+          SinkRule("all"),
+          SinkRule("errors", include = Seq("status=err")),
+          SinkRule("clean", exclude = Seq("status=err", "INFO"))))
+        val report = Pipeline.run(spark, new SnapshotTable(spark, tableRoot),
+          new LineageStore(spark, lineageRoot), cfg, outDir)
+        val sinks = report.perSinkDelivered
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        println(s"""{"run_id":"${report.runId}","snapshot":${report.snapshotId},""" +
+          s""""processed_files":${report.processedFiles.size},""" +
+          s""""invalidated":${report.invalidatedFiles.size},""" +
+          s""""pruned":${report.prunedFiles.size},""" +
+          s""""input_rows":${report.inputRows},"blank_rows":${report.blankRows},""" +
+          s""""delivered":$sinks}""")
+
+      case other =>
+        System.err.println(s"usage: graft.Main seed <table> <convs> <turns> [megaTurns] | " +
+          s"run <table> <lineage> <out>   (got: $other)")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -105,8 +105,26 @@ object Pipeline {
     // for the lineage rows
     val fps = todo.map(f => f -> currentHash.getOrElse(f, Fingerprint.ofFile(spark, f))).toMap
     val bid = batchId(todo.map(f => s"$f:${fps(f)}"))
+    // A5 collector metrics (lines_total / bytes_total / blank) ride on the
+    // counting job via Observation — no extra scan of the input
+    val obs = new org.apache.spark.sql.Observation(s"graft-$runId")
     val src = spark.read.parquet(todo: _*)
       .withColumn("src_file", input_file_name())
+      .observe(obs,
+        count(lit(1)).as("lines_total"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("bytes_total"),
+        coalesce(sum(when(length(col("text")) === 0, 1L).otherwise(0L)), lit(0L))
+          .as("blank_total"))
+
+    // Optional multiline assembly: blank lines are dropped first (the
+    // blank-record rule — counted in the observation, never delivered,
+    // tail_reader.go:272-279), records inherit first-line metadata.
+    val turns = cfg.multiline match {
+      case Some(spec) =>
+        operators.Segments.assembleFsmRows(
+          src.filter(length(col("text")) > 0), spec, cfg.lineagePartitions)
+      case None => src
+    }
 
     // One logical fan-out; every sink and count derives from this plan.
     // NOT persisted: the source is a pinned snapshot of immutable files, so
@@ -114,17 +132,12 @@ object Pipeline {
     // isolation, not caching) — and measured cache build+read here is
     // slower than re-running the codegen'd parse. For a non-snapshot
     // source, stage this projection to parquet once instead.
-    val routed = Route.routed(Enrich.enrich(Parse.parseTurns(src)))
+    val routed = Route.routed(Enrich.enrich(Parse.parseTurns(turns)))
       .select(col("ts"), col("host"), col("route_key"), col("text"),
         col("conv_id"), col("turn_idx"), col("verb"), col("dur_ms"),
         col("status"), col("tool_family"), col("src_file"))
 
     locally {
-      val acc = src.agg(
-        count(lit(1)),
-        sum(when(length(col("text")) === 0, 1L).otherwise(0L))).head()
-      val (inputRows, blankRows) = (acc.getLong(0), Option(acc.get(1)).fold(0L)(_.asInstanceOf[Long]))
-
       val fsRoot = new Path(outDir)
       val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -169,10 +182,13 @@ object Pipeline {
           .getOrElse(new Path(file).getName, 0L), fps(file), now)
       lineage.commit(entries)
 
+      // the counting job above materialized src, so the observation is set
+      val metrics = obs.get
       RunReport(runId, snapId, todo, invalidated, pruned,
         cfg.sinks.map(r => r.name ->
           perFileCounts.getOrElse(r.name, Map.empty).values.sum).toMap,
-        inputRows, blankRows)
+        metrics("lines_total").asInstanceOf[Long],
+        metrics("blank_total").asInstanceOf[Long])
     }
   }
 }

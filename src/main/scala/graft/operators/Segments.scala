@@ -30,6 +30,10 @@ import graft.model.MultilineMode._
   */
 object Segments {
 
+  /** Transcript row with per-line metadata carried through FSM assembly. */
+  final case class MetaRow(conv_id: String, turn_idx: Int, text: String,
+      role: String, tool: String, ts: java.sql.Timestamp, src_file: String)
+
   /** Pure single-conversation FSM, shared by `assembleFsm` and the
     * ScalaTest/ScalaCheck property suite. Input lines in turn order;
     * output = completed records, each = lines joined with '\n'.
@@ -151,6 +155,60 @@ object Segments {
         }
       }
       .toDF("conv_id", "record_idx", "record", "n_lines")
+  }
+
+  /** [[assembleFsm]] variant that carries row metadata through assembly:
+    * each record inherits role/tool/ts/src_file from its FIRST line.
+    * Emitted records always consume the oldest pending lines (standalone
+    * emission only happens on an empty buffer), so a FIFO of line metas
+    * aligns with drained records. Output keeps the transcript shape with
+    * `turn_idx` = record index and `text` = assembled record, so the
+    * parse→enrich→route stages compose on top unchanged.
+    */
+  def assembleFsmRows(df: DataFrame, spec: MultilineSpec, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    df.select(col("conv_id"), col("turn_idx"), col("text"), col("role"),
+        col("tool"), col("ts").cast("timestamp").as("ts"), col("src_file"))
+      .as[MetaRow]
+      .repartition(parts, col("conv_id"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[MetaRow] {
+          private var pending: Iterator[MetaRow] = Iterator.empty
+          private def advance(): Unit = {
+            while (pending.isEmpty && in.hasNext) {
+              val conv = in.head.conv_id
+              val fsm = new Fsm(spec)
+              val metas = new java.util.ArrayDeque[MetaRow]()
+              val recs = mutable.ArrayBuffer.empty[MetaRow]
+              var idx = 0
+              def emit(r: String): Unit = {
+                val n = r.count(_ == '\n') + 1
+                var first: MetaRow = null
+                var i = 0
+                while (i < n) { val m = metas.poll(); if (i == 0) first = m; i += 1 }
+                recs += MetaRow(conv, idx, r, first.role, first.tool, first.ts, first.src_file)
+                idx += 1
+              }
+              while (in.hasNext && in.head.conv_id == conv) {
+                val row = in.next()
+                metas.add(row)
+                fsm.write(row.text)
+                fsm.drain().foreach(emit)
+              }
+              fsm.flush().foreach(emit)
+              pending = recs.iterator
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): MetaRow = { advance(); pending.next() }
+        }
+      }
+      .toDF()
   }
 
   /** Declarative boundary column. Only `ContinueThrough` and `HaltBefore`

@@ -100,6 +100,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.processedFiles.isEmpty && r3.invalidatedFiles.isEmpty)
   }
 
+  test("multiline pipeline: records assembled before routing, metadata inherited") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    import org.apache.spark.sql.functions.{col, length}
+    val turns = Transcripts.synthesize(spark, numConvs = 12, turnsPerConv = 8).toDF()
+    table.append(turns)
+    val mlCfg = cfg.copy(multiline = Some(graft.model.MultilineSpec(
+      graft.model.MultilineMode.HaltBefore, "^(CALL|INFO|ask)")))
+    val r = Pipeline.run(spark, table, lineage, mlCfg, s"$root/sinks")
+    assert(r.inputRows == 96)
+    val delivered = spark.read.parquet(s"$root/sinks/all")
+    // expected record count from the single-threaded FSM over non-blank lines
+    val rows = turns.filter(length(col("text")) > 0)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect()
+    val expectedRecords = rows.groupBy(_._1).map { case (_, ts) =>
+      graft.operators.Segments.runFsm(
+        graft.model.MultilineSpec(graft.model.MultilineMode.HaltBefore, "^(CALL|INFO|ask)"),
+        ts.sortBy(_._2).map(_._3).iterator).size
+    }.sum
+    // every record routes to role:<first-line role> (+ tool: when first line is a tool turn)
+    val distinctRecords = delivered.select("conv_id", "turn_idx").distinct().count()
+    assert(distinctRecords == expectedRecords)
+    assert(r.perSinkDelivered("all") == delivered.count())
+    // multi-line records contain embedded newlines
+    assert(delivered.filter(col("message").contains("\n")).count() > 0)
+  }
+
   test("snapshot isolation: read-at-snapshot pins the file list") {
     val root = tmp()
     val table = new SnapshotTable(spark, s"$root/table")
