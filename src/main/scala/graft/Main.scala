@@ -18,10 +18,13 @@ import graft.sources.{SnapshotTable, Transcripts}
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+    // spark-submit injects spark.master; running via sbt/java needs one
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

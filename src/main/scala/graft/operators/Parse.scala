@@ -195,4 +195,44 @@ object Parse {
     from_csv(line, org.apache.spark.sql.types.StructType.fromDDL(schema),
       Map("sep" -> delim, "ignoreLeadingWhiteSpace" -> "true"))
   }
+
+  /** CSV line-table parse with the reference's header semantics
+    * (csv.go:83-104): when `hasHeaders`, the first line (by `orderCol`)
+    * names the columns and is skipped; missing names are generated as
+    * `field_N`; columns beyond the header become `extra_field_N`. One tiny
+    * driver-side head() fetches the header; data parsing is distributed
+    * `from_csv`. `extraSlots` bounds overflow columns.
+    */
+  def csvTable(lines: DataFrame, lineCol: String, orderCol: String,
+      delim: String = ",", hasHeaders: Boolean = true,
+      customHeaders: Seq[String] = Nil, extraSlots: Int = 4): DataFrame = {
+    val spark = lines.sparkSession
+    val headers: Seq[String] =
+      if (!hasHeaders) customHeaders
+      else {
+        val firstLine = lines.orderBy(col(orderCol)).select(col(lineCol))
+          .limit(1).collect().headOption.map(_.getString(0)).getOrElse("")
+        // upper-bound field count by delimiter count (quoted delims only
+        // overcount, yielding trailing nulls we drop)
+        val nGuess = firstLine.count(_ == delim.head) + 1
+        val row = spark.range(1).select(csvFields(lit(firstLine), nGuess, delim).as("h"))
+          .select(col("h.*")).collect().head
+        (0 until row.length).map(i => Option(row.getString(i)))
+          .takeWhile(_.isDefined).map(_.get)
+      }
+    val named = headers.zipWithIndex.map { case (h, i) =>
+      if (h != null && h.nonEmpty) h else s"field_${i + 1}" }
+    val n = named.size + extraSlots
+    val data =
+      if (hasHeaders) {
+        val minOrder = lines.agg(min(col(orderCol))).collect().head.get(0)
+        lines.filter(col(orderCol) =!= lit(minOrder))
+      } else lines
+    val f = csvFields(col(lineCol), n, delim)
+    val cols = (0 until n).map { i =>
+      val name = if (i < named.size) named(i) else s"extra_field_${i + 1}"
+      f.getField(s"field_${i + 1}").as(name)
+    }
+    data.select(col(orderCol) +: cols: _*)
+  }
 }
