@@ -96,6 +96,40 @@ final class LineageStore(spark: SparkSession, root: String) {
   * (data files, unlike live logs, cannot grow), but length is mixed in so
   * truncation is always detected.
   */
+/** The reference's three fingerprint strategies as an ADT producing hash
+  * Columns over row content (internal/watcher/watcher.go:15-18 enum;
+  * strategies at internal/file_tracker/fingerprint.go and
+  * file_id_linux.go:11-18):
+  *
+  *  - Checksum(n): sha256 of the first n characters; rows shorter than n
+  *    yield null (the reference errors on too-small files,
+  *    fingerprint.go:33-40)
+  *  - ChecksumSeparator(sep, n): sha256 through the Nth separator occurrence
+  *    inclusive; null when fewer than n separators exist
+  *  - DeviceAndInode: identity from storage coordinates, not content — here
+  *    the source file path (the batch analogue of dev:ino)
+  */
+sealed trait FingerprintStrategy {
+  def column(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+}
+object FingerprintStrategy {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  final case class Checksum(n: Int) extends FingerprintStrategy {
+    def column(content: Column): Column =
+      when(length(content) >= n, sha2(substring(content, 1, n), 256))
+  }
+  final case class ChecksumSeparator(sep: String, n: Int) extends FingerprintStrategy {
+    def column(content: Column): Column =
+      when(size(split(content, java.util.regex.Pattern.quote(sep))) > n,
+        sha2(concat(substring_index(content, sep, n), lit(sep)), 256))
+  }
+  case object DeviceAndInode extends FingerprintStrategy {
+    def column(content: Column): Column = input_file_name()
+  }
+}
+
 object Fingerprint {
   val DefaultPrefixBytes: Int = 64 * 1024
 
