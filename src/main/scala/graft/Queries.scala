@@ -228,6 +228,13 @@ object Queries {
         k = 5, bands = 24, planesPerBand = 4)
     }),
 
+    // IVF-bucketed ANN (deterministic coarse quantizer; full DuckDB replica)
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfKnn(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 4)
+    }),
+
     // language ID (stopword-hit heuristic)
     "q_lang_id" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"), col("lang"),
@@ -488,6 +495,32 @@ object Queries {
         |    floor((list_dot_product(q.v, c.v) /
         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) * 1000000 + 0.5) / 1000000 AS cosine
         |  FROM q, e c WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored) s WHERE rank <= 5""".stripMargin,
+
+    "q_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM n ORDER BY vec_id LIMIT 8),
+        |ca AS (
+        |  SELECT vec_id AS neighbor_id, v AS nbv, nv AS nbn, cid FROM (
+        |    SELECT n.vec_id, n.v, n.nv, c.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+        |    FROM n, cents c) x WHERE r = 1),
+        |qa AS (
+        |  SELECT vec_id AS query_id, v AS qv, nv AS qn, cid FROM (
+        |    SELECT n.vec_id, n.v, n.nv, c.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+        |    FROM n, cents c WHERE n.vec_id < 3) x WHERE r <= 4),
+        |cand AS (
+        |  SELECT DISTINCT query_id, neighbor_id, qv, qn, nbv, nbn
+        |  FROM qa JOIN ca USING (cid) WHERE query_id <> neighbor_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  floor((list_dot_product(qv, nbv) / (qn * nbn)) * 1000000 + 0.5) / 1000000 AS cosine
+        |  FROM cand)
         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored) s WHERE rank <= 5""".stripMargin,

@@ -127,31 +127,35 @@ object Segments {
       .sortWithinPartitions("conv_id", "turn_idx")
       .as[(String, Int, String)]
       .mapPartitions { it =>
+        // fully streaming: records emit as soon as the FSM closes them, so
+        // per-task memory is O(open buffer), not O(records per conversation)
+        // — a 10^7-turn mega-conversation costs only its largest record
         new Iterator[(String, Int, String, Int)] {
           private val in = it.buffered
-          private var pending: Iterator[(String, Int, String, Int)] = Iterator.empty
-          private def advance(): Unit = {
-            while (pending.isEmpty && in.hasNext) {
-              val conv = in.head._1
-              val fsm = new Fsm(spec)
-              val recs = mutable.ArrayBuffer.empty[(String, Int, String, Int)]
-              var idx = 0
-              while (in.hasNext && in.head._1 == conv) {
+          private var conv: String = _
+          private var fsm: Fsm = _
+          private var idx = 0
+          private var pending: Iterator[String] = Iterator.empty
+          private def refill(): Unit = {
+            while (pending.isEmpty && (fsm != null || in.hasNext)) {
+              if (fsm == null) { conv = in.head._1; fsm = new Fsm(spec); idx = 0 }
+              if (in.hasNext && in.head._1 == conv) {
                 fsm.write(in.next()._3)
-                fsm.drain().foreach { r =>
-                  val nl = r.count(_ == '\n') + 1
-                  recs += ((conv, idx, r, nl)); idx += 1
-                }
+                pending = fsm.drain().iterator
+              } else { // conversation exhausted: residual flush, then close
+                pending = fsm.flush().iterator
+                fsm = null
               }
-              fsm.flush().foreach { r =>
-                val nl = r.count(_ == '\n') + 1
-                recs += ((conv, idx, r, nl)); idx += 1
-              }
-              pending = recs.iterator
             }
           }
-          def hasNext: Boolean = { advance(); pending.hasNext }
-          def next(): (String, Int, String, Int) = { advance(); pending.next() }
+          def hasNext: Boolean = { refill(); pending.hasNext }
+          def next(): (String, Int, String, Int) = {
+            refill()
+            val r = pending.next()
+            val out = (conv, idx, r, r.count(_ == '\n') + 1)
+            idx += 1
+            out
+          }
         }
       }
       .toDF("conv_id", "record_idx", "record", "n_lines")
@@ -176,36 +180,42 @@ object Segments {
       .repartition(parts, col("conv_id"))
       .sortWithinPartitions("conv_id", "turn_idx")
       .mapPartitions { it =>
-        val in = it.buffered
+        // streaming like assembleFsm: emitted records always consume the
+        // oldest pending line metas, so memory is O(open buffer)
         new Iterator[MetaRow] {
-          private var pending: Iterator[MetaRow] = Iterator.empty
-          private def advance(): Unit = {
-            while (pending.isEmpty && in.hasNext) {
-              val conv = in.head.conv_id
-              val fsm = new Fsm(spec)
-              val metas = new java.util.ArrayDeque[MetaRow]()
-              val recs = mutable.ArrayBuffer.empty[MetaRow]
-              var idx = 0
-              def emit(r: String): Unit = {
-                val n = r.count(_ == '\n') + 1
-                var first: MetaRow = null
-                var i = 0
-                while (i < n) { val m = metas.poll(); if (i == 0) first = m; i += 1 }
-                recs += MetaRow(conv, idx, r, first.role, first.tool, first.ts, first.src_file)
-                idx += 1
+          private val in = it.buffered
+          private var conv: String = _
+          private var fsm: Fsm = _
+          private var idx = 0
+          private val metas = new java.util.ArrayDeque[MetaRow]()
+          private var pending: Iterator[String] = Iterator.empty
+          private def emit(r: String): MetaRow = {
+            val n = r.count(_ == '\n') + 1
+            var first: MetaRow = null
+            var i = 0
+            while (i < n) { val m = metas.poll(); if (i == 0) first = m; i += 1 }
+            val out = MetaRow(conv, idx, r, first.role, first.tool, first.ts, first.src_file)
+            idx += 1
+            out
+          }
+          private def refill(): Unit = {
+            while (pending.isEmpty && (fsm != null || in.hasNext)) {
+              if (fsm == null) {
+                conv = in.head.conv_id; fsm = new Fsm(spec); idx = 0; metas.clear()
               }
-              while (in.hasNext && in.head.conv_id == conv) {
+              if (in.hasNext && in.head.conv_id == conv) {
                 val row = in.next()
                 metas.add(row)
                 fsm.write(row.text)
-                fsm.drain().foreach(emit)
+                pending = fsm.drain().iterator
+              } else {
+                pending = fsm.flush().iterator
+                fsm = null
               }
-              fsm.flush().foreach(emit)
-              pending = recs.iterator
             }
           }
-          def hasNext: Boolean = { advance(); pending.hasNext }
-          def next(): MetaRow = { advance(); pending.next() }
+          def hasNext: Boolean = { refill(); pending.hasNext }
+          def next(): MetaRow = { refill(); emit(pending.next()) }
         }
       }
       .toDF()

@@ -75,6 +75,47 @@ object Similarity {
       lit(0L),
       (acc, p) => acc * 2 + when(projection(v, p) >= 0, 1L).otherwise(0L))
 
+  /** IVF-bucketed ANN: deterministic coarse quantizer (the first
+    * `nCentroids` corpus rows by id — reproducible, no RNG) assigns every
+    * corpus row to its nearest centroid (1 probe) and every query to its
+    * `nProbe` nearest; candidates are the bucket joins, exactly reranked.
+    * The 10^12-row shape: centroids broadcast, corpus bucketed once
+    * (shuffle on cid), each query touches nProbe/nCentroids of the corpus.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), toDoubleVec(col(embCol)).as("centv"))
+      .withColumn("centnorm", l2norm(col("centv")))
+
+    def assigned(df: DataFrame, id: String, probes: Int): DataFrame = {
+      val base = df.select(col(idCol).as(id), toDoubleVec(col(embCol)).as(s"${id}_v"))
+        .withColumn(s"${id}_norm", l2norm(col(s"${id}_v")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(id).orderBy(col("csim").desc, col("cid"))
+      base.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          cosine(col(s"${id}_v"), col("centv"), col(s"${id}_norm"), col("centnorm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= probes)
+        .drop("centv", "centnorm", "csim", "crank")
+    }
+
+    val cb = assigned(corpus, "neighbor_id", probes = 1)
+    val qb = assigned(queries, "query_id", probes = nProbe)
+    val scored = qb.join(cb, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", TextAnalysis.r6(
+        cosine(col("query_id_v"), col("neighbor_id_v"),
+          col("query_id_norm"), col("neighbor_id_norm"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN: `bands` independent sketches of `planesPerBand` bits
     * each; query and corpus rows sharing any (band, sketch) bucket become
     * candidates; candidates are exactly reranked. Recall grows with bands;

@@ -48,6 +48,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf knn: candidates exactly scored; self-bucket always recalls an exact duplicate") {
+    val q = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfKnn(emb, q, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    // scores agree exactly with brute force where pairs overlap
+    val brute = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 200)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (qid, nid, cos, _) =>
+      brute.get((qid, nid)).foreach(b => assert(b == cos)) }
+    // planted duplicate vector must be found at rank 1 with cosine 1
+    val dup = emb.filter($"vec_id" === 7)
+      .withColumn("vec_id", $"vec_id" * 0 + 999999)
+    val withDup = emb.unionByName(dup)
+    val res = Similarity.ivfKnn(withDup, withDup.filter($"vec_id" === 999999),
+      "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+      .filter($"rank" === 1).as[(Long, Long, Double, Int)].head()
+    assert(res._2 == 7L && res._3 == 1.0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(3)
     val res = Similarity.bruteForceKnn(
