@@ -201,18 +201,30 @@ object Queries {
         n = 3, threshold = 0.6)
         .select(col("a"), col("b"), TextAnalysis.r6(col("jaccard")).as("jaccard"))),
 
-    // MinHash + banded LSH near-dup (sha-hash variant so DuckDB can
-    // reproduce the exact signatures; engine default is xxhash64)
+    // MinHash + banded LSH near-dup. This IS the engine path: one sha256
+    // per shingle + affine integer mixes per permutation (Hashing), which
+    // DuckDB reproduces exactly — no separate oracle variant any more.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(nearDupFixture(s, dir), "doc_id", "text",
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6,
-        hashFn = Dedup.shaHash)
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
         .select(col("a"), col("b"), TextAnalysis.r6(col("jaccard")).as("jaccard"))),
 
-    // SimHash near-dup pairs (native expression; model-checked in tests)
+    // SimHash near-dup pairs (native expression, sha256-derived token hash
+    // — the DuckDB oracle recomputes the identical 60-bit fingerprints)
     "q_dedup_simhash" -> ((s, dir) => {
       SimHash.register(s)
       Dedup.simhashPairs(nearDupFixture(s, dir), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // embedding cosine near-dup, LSH-band-blocked (no all-pairs join);
+    // planted duplicates guarantee non-trivial pairs at every sf
+    "q_emb_neardup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val withDup = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDup(withDup, "vec_id", "embedding", minCosine = 0.9)
+        .select(col("a"), col("b"), TextAnalysis.r6(col("cosine")).as("cosine"))
     }),
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -309,6 +321,31 @@ object Queries {
       |""".stripMargin
 
   // ------------------------------------------------------------------ oracle side
+
+  import graft.functions.Hashing
+
+  /** DuckDB rendering of [[Hashing.sha60]] (60-bit sha256-prefix hash). */
+  private def sha60Sql(e: String): String = Hashing.sha60Sql(e)
+
+  /** DuckDB twin of [[graft.operators.Similarity.planeMatrix]] +
+    * band sketches: given a relation `src(vec_id, v double[])`, emits CTEs
+    * `planes`, `proj`, `sk(vec_id, band, skv)` deriving the identical
+    * hyperplane matrix from the same sha256 recipe and the identical
+    * left-fold projections (fold order is part of the cross-engine
+    * contract — list_dot_product is NOT used for the sign test).
+    */
+  private def lshSketchCte(src: String, bands: Int, ppb: Int, dims: Int): String = {
+    val nPlanes = bands * ppb
+    s"""planes AS (SELECT p,
+       |    [((${sha60Sql("p::VARCHAR || ',' || i::VARCHAR")} % 1000003) / 500001.5 - 1.0) FOR i IN range($dims)] AS pv
+       |  FROM range($nPlanes) t(p)),
+       |proj AS (SELECT vec_id, p,
+       |    list_reduce([v[d+1] * pv[d+1] FOR d IN range($dims)], (x, y) -> x + y) AS pr
+       |  FROM $src, planes),
+       |sk AS (SELECT vec_id, p // $ppb AS band,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (${ppb - 1} - (p % $ppb))) ELSE 0 END) AS BIGINT) AS skv
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+  }
 
   private val toolDimJoin =
     s"JOIN ${Enrich.toolDimSql} USING (tool)"
@@ -472,20 +509,66 @@ object Queries {
         |WHERE CAST(inter AS DOUBLE) / (len(da.sh) + len(db.sh) - inter) >= 0.6""".stripMargin),
 
     "q_dedup_minhash" -> (nearDupCte +
-      """, sigs AS (
-        |  SELECT id, i, min(substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 16)) AS mh
-        |  FROM (SELECT id, unnest(sh) AS s FROM dsh), range(8) r(i)
-        |  GROUP BY id, i),
-        |bands AS (
-        |  SELECT id, i // 2 AS band, sha256(string_agg(mh, ',' ORDER BY i)) AS bhash
-        |  FROM sigs GROUP BY id, i // 2),
-        |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
-        |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id)
-        |SELECT a, b, floor((CAST(inter AS DOUBLE) / (sza + szb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard FROM (
-        |  SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS inter,
-        |         len(da.sh) AS sza, len(db.sh) AS szb
-        |  FROM cand c JOIN dsh da ON da.id = c.a JOIN dsh db ON db.id = c.b) v
-        |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6""".stripMargin),
+      s""", hsets AS (SELECT id, sh, [${sha60Sql("s")} FOR s IN sh] AS hs FROM dsh),
+         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsets),
+         |bands AS (SELECT id, b AS band,
+         |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
+         |  FROM sigs, range(4) t(b)),
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id)
+         |SELECT a, b, floor((CAST(inter AS DOUBLE) / (sza + szb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard FROM (
+         |  SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS inter,
+         |         len(da.sh) AS sza, len(db.sh) AS szb
+         |  FROM cand c JOIN dsh da ON da.id = c.a JOIN dsh db ON db.id = c.b) v
+         |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6""".stripMargin),
+
+    // SimHash: identical 60-bit fingerprints re-derived from sha256 token
+    // hashes; 15-bit quarter blocking, exact hamming verify — the same
+    // dataflow as Dedup.simhashPairs
+    "q_dedup_simhash" -> (nearDupCte +
+      s""", stoks AS (SELECT doc_id AS id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM docs2),
+         |shs AS (SELECT id, [${sha60Sql("tok")} FOR tok IN t] AS hs FROM stoks),
+         |fps AS (SELECT id, CASE WHEN len(hs) = 0 THEN 0 ELSE
+         |    CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) % 2 = 1)) > len(hs)
+         |                   THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT)
+         |  END AS fp FROM shs),
+         |blocks AS (SELECT id, fp, q, (fp >> (q * 15)) & 32767 AS qv FROM fps, range(4) t(q))
+         |SELECT a, b, dist FROM (
+         |  SELECT DISTINCT l.id AS a, r.id AS b,
+         |    CAST(bit_count(xor(l.fp, r.fp)) AS INTEGER) AS dist
+         |  FROM blocks l JOIN blocks r ON l.q = r.q AND l.qv = r.qv AND l.id < r.id) p
+         |WHERE dist <= 3""".stripMargin),
+
+    // hyperplane-LSH ANN: sketches from the sha256-derived plane matrix,
+    // bucket-join candidates, exact rerank — Similarity.lshKnn verbatim
+    "q_knn_lsh" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+          |${lshSketchCte("e", bands = 24, ppb = 4, dims = 64)},
+          |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          |  FROM sk q JOIN sk c ON q.band = c.band AND q.skv = c.skv AND q.vec_id <> c.vec_id
+          |  WHERE q.vec_id < 3),
+          |scored AS (SELECT query_id, neighbor_id,
+          |    floor((list_dot_product(qn.v, cn.v) / (qn.nv * cn.nv)) * 1000000 + 0.5) / 1000000 AS cosine
+          |  FROM cand JOIN n qn ON qn.vec_id = query_id JOIN n cn ON cn.vec_id = neighbor_id)
+          |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          |  FROM scored) s WHERE rank <= 5""".stripMargin),
+
+    // embedding near-dup: LSH-band blocking + exact cosine verify —
+    // Dedup.embeddingNearDup verbatim (12 bands × 6 planes)
+    "q_emb_neardup" ->
+      (s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |e AS (SELECT * FROM e0 UNION ALL SELECT vec_id + 500000, v FROM e0 WHERE vec_id < 5),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+          |${lshSketchCte("e", bands = 12, ppb = 6, dims = 64)},
+          |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          |  FROM sk l JOIN sk r ON l.band = r.band AND l.skv = r.skv AND l.vec_id < r.vec_id)
+          |SELECT a, b, floor((list_dot_product(na.v, nb.v) / (na.nv * nb.nv)) * 1000000 + 0.5) / 1000000 AS cosine
+          |FROM cand JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
+          |WHERE list_dot_product(na.v, nb.v) / (na.nv * nb.nv) >= 0.9""".stripMargin),
 
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
+
 /** Deduplication family for a large-scale training-data pipeline:
   *
   *  - [[exact]]          — hash-groupBy exact dedup (one shuffle on the hash)
@@ -11,15 +13,17 @@ import org.apache.spark.sql.functions._
   *                         corpora / verification)
   *  - [[minhashLsh]]     — MinHash signatures + banded LSH bucket join +
   *                         exact Jaccard verification of candidates; the
-  *                         100 TB path: cost ≈ shingling + k·S hashing +
-  *                         one shuffle per band join, no all-pairs blowup
-  *  - [[simhash]]        — 64-bit SimHash fingerprints + hamming-ball pairing
-  *  - [[embeddingNearDup]] — cosine near-duplicates over an embedding column
+  *                         100 TB path: cost ≈ shingling + 1 sha256 per
+  *                         shingle + k integer mixes + one shuffle per band
+  *                         join, no all-pairs blowup
+  *  - [[simhash]]        — 60-bit SimHash fingerprints + hamming-ball pairing
+  *  - [[embeddingNearDup]] — cosine near-duplicates over an embedding
+  *                         column, blocked by hyperplane-LSH band sketches
+  *                         (equi-join, no all-pairs) and exactly verified
   *
-  * Hashing is pluggable: the engine path uses `xxhash64` (64-bit, codegen'd);
-  * the oracle path uses sha256-prefix *strings* so DuckDB can reproduce the
-  * exact signatures (both are deterministic; they yield the same verified
-  * pairs because verification is exact Jaccard either way).
+  * All pseudo-randomness comes from [[graft.functions.Hashing]], so every
+  * path here is reproducible in DuckDB for the oracle gate — the engine
+  * path and the oracle path are the same code.
   */
 object Dedup {
 
@@ -66,44 +70,38 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** MinHash signature as an array of k per-permutation minima.
-    * `hashFn(shingle, perm)` must be deterministic and orderable.
+  /** Per-band LSH value: the band's signature rows folded with an affine
+    * step mod P. Collisions only ADD candidates, and every candidate is
+    * verified with exact Jaccard, so a 31-bit band value is safe.
     */
-  def minhashSignature(sh: Column, k: Int, hashFn: (Column, Int) => Column): Column =
-    array((0 until k).map(i => array_min(transform(sh, s => hashFn(s, i)))): _*)
-
-  /** 64-bit engine hash: xxhash64 with the permutation index as seed salt. */
-  def xxHash(s: Column, perm: Int): Column = xxhash64(lit(perm), s)
-
-  /** Oracle-replicable hash: first 16 hex chars of sha256("<perm>|<shingle>"),
-    * compared as strings (DuckDB computes the identical value).
-    */
-  def shaHash(s: Column, perm: Int): Column =
-    substring(sha2(concat(lit(s"$perm|"), s), 256), 1, 16)
+  private def bandValue(sig: Column, b: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
+      (acc * 8191L + sig.getItem(b * rowsPerBand + r)) % Hashing.P
+    }
 
   /** MinHash + banded LSH near-dup detection.
     *
-    * Signatures (k = bands·rowsPerBand) are banded; docs sharing any band
-    * hash become candidates (equi-join on (band, hash) — Catalyst shuffle
+    * One [[Hashing.sha60]] per distinct shingle; permutation i's value is
+    * the two-integer-op [[Hashing.mix]] of that base hash, so the signature
+    * costs k integer ops per shingle, not k hashes. Docs sharing any band
+    * value become candidates (equi-join on (band, bhash) — Catalyst shuffle
     * hash join); candidates are verified with exact Jaccard. At 100 TB the
-    * expensive all-pairs comparison never materializes: band buckets bound
-    * the candidate set, AQE handles bucket skew, and verification joins
-    * only candidate ids back to shingle sets.
+    * all-pairs comparison never materializes: band buckets bound the
+    * candidate set, AQE handles bucket skew, and verification joins only
+    * candidate ids back to shingle sets.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.8,
-      hashFn: (Column, Int) => Column = xxHash): DataFrame = {
+      baseHash: Column => Column = Hashing.sha60): DataFrame = {
     val k = bands * rowsPerBand
     val sets = shingleSets(df, idCol, textCol, n)
-    val sig = sets.withColumn("sig", minhashSignature(col("sh"), k, hashFn))
-
-    val bandRows = sig.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        // band hash = joined slice of the signature (stable text form)
-        sha2(concat_ws(",", (0 until rowsPerBand).map(r =>
-          col("sig").getItem(b * rowsPerBand + r).cast("string")): _*), 256)
-      }: _*)).as(Seq("band", "bhash")))
+    val hashed = sets.withColumn("hs", transform(col("sh"), s => baseHash(s)))
+    val sig = array((0 until k).map(i =>
+      array_min(transform(col("hs"), h => Hashing.mix(h, i)))): _*)
+    val bandRows = hashed.select(col("id"), posexplode(
+      array((0 until bands).map(b => bandValue(sig, b, rowsPerBand)): _*))
+      .as(Seq("band", "bhash")))
 
     val candidates = bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
@@ -123,46 +121,69 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint — native single-pass expression
+  /** Spark-only 64-bit base hash, for engine deployments that don't need
+    * the DuckDB-reproducible default (folded into [0, P)).
+    */
+  def xxBase(s: Column): Column = pmod(xxhash64(s), lit(Hashing.P))
+
+  /** 60-bit SimHash fingerprint — native single-pass expression
     * ([[graft.functions.SimHash]], registered as `simhash64`).
     */
   def simhash(text: Column): Column = call_function("simhash64", text)
 
-  /** Hamming distance between two 64-bit fingerprints. */
+  /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within a hamming radius, blocked by 16-bit
-    * quarters (a pair within distance ≤3 shares at least one identical
-    * quarter — pigeonhole), so the join is equi on (quarter idx, value).
+  /** SimHash near-dup pairs within a hamming radius, blocked by 15-bit
+    * quarters of the 60-bit fingerprint (a pair within distance ≤3 shares
+    * at least one identical quarter — pigeonhole), so the join is equi on
+    * (quarter idx, value).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "quarter blocking guarantees recall only for distance <= 3")
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val blocks = fp.select(col("id"), col("fp"), posexplode(array(
-      (0 until 4).map(q => shiftright(col("fp"), q * 16).bitwiseAND(0xFFFFL)): _*))
+      (0 until 4).map(q => shiftright(col("fp"), q * 15).bitwiseAND(0x7FFFL)): _*))
       .as(Seq("q", "qv")))
     blocks.as("l").join(blocks.as("r"),
         col("l.q") === col("r.q") && col("l.qv") === col("r.qv") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
-        hamming(col("l.fp"), col("r.fp")).as("dist"))
+        hamming(col("l.fp"), col("r.fp")).cast("int").as("dist"))
       .distinct()
       .filter(col("dist") <= maxHamming)
   }
 
-  /** Cosine near-duplicates over an embedding column (exact, via the
-    * Similarity kernels); see [[Similarity.bruteForceKnn]] for the ANN path.
+  /** Cosine near-duplicates over an embedding column, at scale: rows are
+    * blocked by hyperplane-LSH band sketches ([[Similarity.bandSketch]] —
+    * the same deterministic plane matrix the ANN path uses), pairs form
+    * only inside a (band, sketch) bucket via equi-join, and every candidate
+    * pair is verified with the exact cosine. No cartesian anywhere; recall
+    * is 1 − (1 − p^planesPerBand)^bands with p = 1 − θ/π, ≈ 0.9999 for
+    * cosine ≥ 0.95 at the defaults.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
-      minCosine: Double = 0.95): DataFrame = {
-    val v = Similarity.toDoubleVec(col(embCol))
-    val withNorm = df.select(col(idCol).as("id"), v.as("v"))
+      minCosine: Double = 0.95, bands: Int = 12, planesPerBand: Int = 6): DataFrame = {
+    val dims = df.select(size(col(embCol))).first().getInt(0)
+    val mat = Similarity.planeMatrix(bands * planesPerBand, dims)
+    val withNorm = df.select(col(idCol).as("id"),
+        Similarity.toDoubleVec(col(embCol)).as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
-    withNorm.as("l").join(withNorm.as("r"), col("l.id") < col("r.id"))
+    val blocks = withNorm.select(col("id"), col("v"), col("norm"),
+      posexplode(array((0 until bands).map(b =>
+        Similarity.bandSketch(col("v"), b, planesPerBand, mat)): _*))
+        .as(Seq("band", "sk")))
+    blocks.as("l").join(blocks.as("r"),
+        col("l.band") === col("r.band") && col("l.sk") === col("r.sk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.v").as("av"), col("l.norm").as("an"),
+        col("r.v").as("bv"), col("r.norm").as("bn"))
+      .dropDuplicates("a", "b")
       .withColumn("cosine",
-        Similarity.dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")))
+        Similarity.dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= minCosine)
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("cosine"))
+      .select(col("a"), col("b"), col("cosine"))
   }
 }

@@ -3,16 +3,24 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   *  - [[bruteForceKnn]] — exact cosine top-k: broadcast the (small) query
   *    set, one pass over the corpus, per-query top-k via window. The
   *    correctness baseline.
-  *  - [[lshKnn]] — random-hyperplane LSH bucketing: sign-bit sketches from
-  *    deterministic pseudo-random hyperplanes, candidates = bucket
-  *    collisions (multi-probe over b bands), exact rerank of candidates.
-  *    The scale path: corpus is bucketed once (shuffle on bucket key), each
-  *    query probes its buckets instead of scanning 10^12 rows.
+  *  - [[lshKnn]] — random-hyperplane LSH bucketing: sign-bit sketches
+  *    against a deterministic plane matrix, candidates = bucket collisions
+  *    (multi-probe over b bands), exact rerank of candidates. The scale
+  *    path: corpus is bucketed once (shuffle on bucket key), each query
+  *    probes its buckets instead of scanning 10^12 rows.
+  *  - [[ivfKnn]] — IVF bucketing with a pure-projection centroid argmax:
+  *    the coarse quantizer is collected once (it IS the model), inlined as
+  *    literals, and assignment adds zero shuffles.
+  *
+  * The plane matrix is sha256-derived ([[Hashing.sha60Jvm]]) so the DuckDB
+  * oracle re-derives the identical matrix in SQL — no RNG state anywhere.
   *
   * All arithmetic is promoted to double before any accumulation so results
   * are reproducible across engines and partitionings (the fold order inside
@@ -54,51 +62,77 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed hash mapped to [-1, 1). No RNG state — reproducible anywhere.
+  /** Deterministic hyperplane matrix: component (p, i) is sha256-derived
+    * and affinely mapped into [-1, 1). Computed once on the driver
+    * (nPlanes × dims doubles — a few KB, like any fitted model) and inlined
+    * as literals, so per-row sketching is pure arithmetic with NO hashing:
+    * round 1 hashed every (row × plane × dim) triple. The DuckDB oracle
+    * derives the identical matrix from the same recipe in SQL.
     */
-  private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(p, i), lit(1000003L)).cast("double") / 500001.5) - 1.0
+  def planeMatrix(nPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dims) { (p, i) =>
+      (Hashing.sha60Jvm(s"$p,$i") % 1000003L).toDouble / 500001.5 - 1.0
+    }
 
-  /** Projection of `v` onto pseudo-random hyperplane `p`. */
-  private def projection(v: Column, p: Column): Column =
-    aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
-      lit(0.0), (a, x) => a + x)
-
-  /** Sign-bit sketch of band `b`: `planesPerBand` bits packed into a long
-    * (acc*2+bit — no shifts, stays pure-expression).
+  /** Projection of `v` onto a literal plane (left-fold dot — fold order is
+    * part of the cross-engine contract).
     */
-  def bandSketch(v: Column, b: Int, planesPerBand: Int): Column =
-    aggregate(
-      sequence(lit(b * planesPerBand), lit((b + 1) * planesPerBand - 1)),
-      lit(0L),
-      (acc, p) => acc * 2 + when(projection(v, p) >= 0, 1L).otherwise(0L))
+  private def projection(v: Column, plane: Array[Double]): Column =
+    aggregate(zip_with(v, typedlit(plane.toSeq), (x, p) => x * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sign-bit sketch of band `b`: `planesPerBand` bits packed into a long,
+    * plane j weighted 2^(planesPerBand−1−j).
+    */
+  def bandSketch(v: Column, b: Int, planesPerBand: Int,
+      mat: Array[Array[Double]]): Column =
+    (0 until planesPerBand).map { j =>
+      when(projection(v, mat(b * planesPerBand + j)) >= 0,
+        lit(1L << (planesPerBand - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding width, fetched once at plan time (one tiny job). */
+  def dimsOf(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol))).first().getInt(0)
 
   /** IVF-bucketed ANN: deterministic coarse quantizer (the first
-    * `nCentroids` corpus rows by id — reproducible, no RNG) assigns every
-    * corpus row to its nearest centroid (1 probe) and every query to its
-    * `nProbe` nearest; candidates are the bucket joins, exactly reranked.
-    * The 10^12-row shape: centroids broadcast, corpus bucketed once
-    * (shuffle on cid), each query touches nProbe/nCentroids of the corpus.
+    * `nCentroids` corpus rows by id — reproducible, no RNG). The quantizer
+    * is collected once — it IS the fitted model — and inlined as literal
+    * vectors, so assigning every corpus row to its nearest centroid is a
+    * pure projection (argmax over a literal struct array): zero shuffle,
+    * where round 1 shuffled corpus × nCentroids rows through a window.
+    * Queries take their `nProbe` nearest via an in-row sort of the same
+    * tiny array. Candidates are the bucket joins, exactly reranked.
+    * The 10^12-row shape: corpus bucketed once (shuffle on cid), each
+    * query touches nProbe/nCentroids of the corpus.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), toDoubleVec(col(embCol)).as("centv"))
-      .withColumn("centnorm", l2norm(col("centv")))
+    val cents: Array[(Long, Array[Double], Double)] =
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).cast("long"), toDoubleVec(col(embCol)))
+        .collect().map { r =>
+          val v = r.getSeq[Double](1).toArray
+          (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+        }
 
     def assigned(df: DataFrame, id: String, probes: Int): DataFrame = {
       val base = df.select(col(idCol).as(id), toDoubleVec(col(embCol)).as(s"${id}_v"))
         .withColumn(s"${id}_norm", l2norm(col(s"${id}_v")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(id).orderBy(col("csim").desc, col("cid"))
-      base.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          cosine(col(s"${id}_v"), col("centv"), col(s"${id}_norm"), col("centnorm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= probes)
-        .drop("centv", "centnorm", "csim", "crank")
+      // (csim, -cid) structs: lexicographic max = highest csim, ties to the
+      // smallest cid — the same order as the round-1 window (csim DESC, cid)
+      val simStructs = array(cents.map { case (cid, cv, cn) =>
+        struct(
+          (dot(col(s"${id}_v"), typedlit(cv.toSeq)) /
+            (col(s"${id}_norm") * lit(cn))).as("csim"),
+          lit(-cid).as("negCid"))
+      }: _*)
+      if (probes == 1)
+        base.withColumn("cid", -array_max(simStructs).getField("negCid"))
+      else
+        base.withColumn("cid",
+          explode(transform(slice(reverse(array_sort(simStructs)), 1, probes),
+            s => -s.getField("negCid"))))
     }
 
     val cb = assigned(corpus, "neighbor_id", probes = 1)
@@ -123,13 +157,14 @@ object Similarity {
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, bands: Int = 8, planesPerBand: Int = 12): DataFrame = {
+    val mat = planeMatrix(bands * planesPerBand, dimsOf(corpus, embCol))
     def withBuckets(df: DataFrame, id: String): DataFrame = {
       val v = toDoubleVec(col(embCol))
       df.select(col(idCol).as(id), v.as(s"${id}_v"))
         .withColumn(s"${id}_norm", l2norm(col(s"${id}_v")))
         .select(col(id), col(s"${id}_v"), col(s"${id}_norm"),
           posexplode(array((0 until bands).map { b =>
-            bandSketch(col(s"${id}_v"), b, planesPerBand)
+            bandSketch(col(s"${id}_v"), b, planesPerBand, mat)
           }: _*)).as(Seq("band", "sk")))
     }
     val cb = withBuckets(corpus, "neighbor_id")

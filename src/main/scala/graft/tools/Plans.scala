@@ -36,6 +36,14 @@ object Plans {
     graft.operators.Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 3),
       "vec_id", "embedding", 5).explain("formatted")
 
+    println("==== knn ivf (pure-projection centroid assignment: no Exchange before the cid join) ====")
+    graft.operators.Similarity.ivfKnn(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5, nCentroids = 8, nProbe = 4).explain("formatted")
+
+    println("==== embedding near-dup (band-blocked: no BroadcastNestedLoopJoin/Cartesian) ====")
+    graft.operators.Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.9)
+      .explain("formatted")
+
     spark.stop()
   }
 }

@@ -1,51 +1,76 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.operators.{Enrich, Parse, Route}
-import graft.sources.Transcripts
 
-/** Scratch profiling main (not part of the driver contract). */
+/** The one diagnostic probe (consolidates round 1's Probe..Probe8 scratch
+  * mains). Two modes:
+  *
+  *  - `runMain graft.tools.Probe scale [iters] [cores...]` — the e2e
+  *    scaling ladder over the synthesized transcript table (expects
+  *    /tmp/graft-bench-turns, written by a Bench run), printing min wall
+  *    time per core level and pairwise efficiency.
+  *  - `runMain graft.tools.Probe q [names...]` — per-query wall times over
+  *    $SPARK_GRAFT_SF_DIR (default sf0.1) at $SPARK_GRAFT_CPUS cores; no
+  *    names = all queries. 3 runs each, min reported.
+  */
 object Probe {
-  def timed(name: String)(f: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val n = f
-    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+  def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.KvParse.register(s)
+    graft.functions.ParseTurn.register(s)
+    graft.functions.SimHash.register(s)
+    s
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.KvParse.register(spark)
-
-    val turns = Transcripts.synthesize(spark, 10000, 50, numPartitions = 64).toDF()
-    timed("synthesize.count")(turns.count())
-    timed("synthesize.count2")(turns.count())
-    val parsed = Parse.parseTurns(turns)
-    timed("parse.count")(parsed.count())
-    val enriched = Enrich.enrich(parsed)
-    timed("enrich.count")(enriched.count())
-    val routed = Route.routed(enriched)
-    timed("routed.count")(routed.count())
-    val slim = routed.select(col("ts"), col("host"), col("route_key"), col("text"),
-      col("conv_id"), col("turn_idx"), col("verb"), col("dur_ms"),
-      col("status"), col("tool_family"))
-    timed("sinkCounts.nocache")(Route.sinkCounts(slim, graft.Queries.demoRules).count())
-    timed("slim.persist.count") {
-      slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      slim.count()
+  private def scale(args: Array[String]): Unit = {
+    val iters = args.headOption.getOrElse("8").toInt
+    val levels = args.drop(1).map(_.toInt).toSeq match {
+      case Nil => Seq(4, 16, 32); case l => l
     }
-    timed("slim.cached.count")(slim.count())
-    timed("sinkCounts.cached")(Route.sinkCounts(slim, graft.Queries.demoRules).count())
-    timed("sinkCounts.cached2")(Route.sinkCounts(slim, graft.Queries.demoRules).count())
-    timed("groupByOnly.cached")(
-      slim.groupBy(col("route_key")).agg(count(lit(1))).count())
-    timed("explodeOnly.cached")(
-      slim.select(explode(Route.acceptingSinks(graft.Queries.demoRules, col("text")))).count())
-    slim.unpersist()
-    spark.stop()
+    val results = levels.map { cpus =>
+      val s = session(cpus)
+      def run(): Unit =
+        Route.sinkCounts(Route.routed(Enrich.enrich(Parse.parseTurns(
+          s.read.parquet("/tmp/graft-bench-turns")))), graft.Queries.demoRules).collect()
+      run() // warm
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] cores=$cpus min=${ts.min}%.2f all=${ts.map(t => f"$t%.1f").mkString(",")}")
+      s.stop()
+      cpus -> ts.min
+    }.toMap
+    for (Seq(lo, hi) <- levels.sorted.sliding(2) if results.contains(lo) && results.contains(hi)) {
+      val eff = results(lo) / ((hi.toDouble / lo) * results(hi))
+      println(f"[probe] EFF $lo->$hi: ${eff}%.2f")
+    }
+  }
+
+  private def queries(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val s = session(cpus)
+    val names = if (args.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn(s, sfDir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $n min=${ts.min}%.2f all=${ts.map(t => f"$t%.1f").mkString(",")}")
+    }
+    s.stop()
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("q") => queries(args.drop(1))
+    case Some("scale") => scale(args.drop(1))
+    case _ => scale(args)
   }
 }

@@ -37,16 +37,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((5L, 1005L)))
   }
 
-  test("minhash LSH (engine xxhash64 path) verifies the same pairs as exact jaccard") {
+  test("minhash LSH verifies the same pairs as exact jaccard (sha60 and xx base hashes)") {
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.6)
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
-      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
       .select("a", "b").as[(Long, Long)].collect().toSet
     // LSH candidates are verified with exact jaccard => lsh ⊆ exact;
     // with 8 bands the planted pairs must be recalled
-    assert(lsh.subsetOf(exact))
-    assert(lsh.contains((3L, 1003L)) && lsh.contains((5L, 1005L)))
+    for (base <- Seq(graft.functions.Hashing.sha60 _, Dedup.xxBase _)) {
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6, baseHash = base)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(exact))
+      assert(lsh.contains((3L, 1003L)) && lsh.contains((5L, 1005L)))
+    }
   }
 
   test("simhash: expression equals model; identical docs at distance 0; near-dups close") {
