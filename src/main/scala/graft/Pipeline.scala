@@ -68,7 +68,13 @@ object Pipeline {
 
     val snapId = table.currentSnapshotId.getOrElse(
       return RunReport(runId, -1L, Nil, Nil, Nil, Map.empty, 0L, 0L))
+    // S3: include/exclude path filtering over the manifest — the batch
+    // analogue of the watcher's walk filter (watcher.go:173-179). The
+    // manifest is driver-side metadata, so the compiled matcher runs here;
+    // PathFilter.column is the distributed twin for path columns.
+    val pathSpec = operators.PathFilter.compile(cfg.include, cfg.exclude)
     val files = table.filesAt(snapId)
+      .filter(f => operators.PathFilter.matches(pathSpec, f))
 
     // J4: prune lineage of vanished files
     val pruned = lineage.pruneTo(files.toSet).map(_.file).distinct

@@ -122,6 +122,32 @@ object Queries {
         f.getField("field_3").as("field_3"))
     }),
 
+    // P6+P9: typed CSV table — per-column typed structs (Go precedence,
+    // "1"→bool) + the configured `<field>_parsed` timestamp companion
+    "q_csv_typed" -> ((s, dir) => {
+      val id = col("event_id")
+      val flag = when(id % 7 === 0, lit("true")).when(id % 7 === 1, lit("off"))
+        .when(id % 7 === 2, lit("1")).when(id % 7 === 3, lit("42"))
+        .when(id % 7 === 4, lit("-7")).when(id % 7 === 5, lit("3.9"))
+        .otherwise(lit("hello"))
+      val tsv = when(id % 3 === 0, lit("2024-01-02 03:04:05"))
+        .when(id % 3 === 1, lit("2024/01/02 03:04:05")).otherwise(lit("n/a"))
+      val data = events(s, dir).select(id.as("ord"),
+        concat(id.cast("string"), lit(","), flag, lit(","), tsv, lit(",\"x, y\"")).as("line"))
+      val header = s.range(1).select(lit(-1L).as("ord"), lit("id,flag,ts,note").as("line"))
+      val t = Parse.csvTableTyped(header.unionByName(data), "line", "ord",
+        timestampField = "ts", timestampFormat = "yyyy-MM-dd HH:mm:ss")
+      t.select(col("ord").as("event_id"), col("id"),
+        col("flag_typed.kind").as("flag_kind"),
+        col("flag_typed.bool_v").as("flag_bool"),
+        col("flag_typed.int_v").as("flag_int"),
+        col("flag_typed.float_v").as("flag_float"),
+        col("flag_typed.str_v").as("flag_str"),
+        col("ts_typed.kind").as("ts_kind"),
+        col("ts_typed.ts_v").as("ts_value"),
+        col("ts_parsed"), col("note"))
+    }),
+
     // A1 window formulation: haltBefore — header lines start records
     "q_multiline_haltbefore" -> ((s, dir) =>
       Segments.assembleWindow(tx(s, dir), MultilineMode.HaltBefore, "^(CALL|INFO|ask)")),
@@ -147,6 +173,24 @@ object Queries {
       Route.forSink(tx(s, dir),
         SinkRule("f", include = Seq("status=err", "ask"), exclude = Seq("note=\"lvl 4\"")))
         .select("conv_id", "turn_idx", "text")),
+
+    // S3 proper: path-glob include/exclude over synthetic file paths —
+    // globs present, so the broad "/data/logs/" include is ignored as a
+    // filter (the specific-overrides-broad rule); oracle derives the
+    // decision analytically from event_id, not from the glob machinery
+    "q_path_filter" -> ((s, dir) => {
+      val id = col("event_id")
+      val path = concat(lit("/data/logs/app"), (id % 5).cast("string"),
+        lit("/file_"), id.cast("string"),
+        when(id % 4 === 0, lit(".log")).when(id % 4 === 1, lit(".txt"))
+          .when(id % 4 === 2, lit(".json")).otherwise(lit(".tmp")))
+      val spec = operators.PathFilter.compile(
+        include = Seq("/data/logs/", "*.log", "file_1*.txt"),
+        exclude = Seq("*3.log"),
+        isDir = p => p == "/data/logs")
+      events(s, dir).select(id, path.as("path"))
+        .filter(operators.PathFilter.column(spec, col("path")))
+    }),
 
     // K7: fan-out router — per-sink per-route-key delivered accounting
     "q_sink_counts" -> ((s, dir) =>
@@ -441,6 +485,24 @@ object Queries {
       """SELECT event_id, 'v' || CAST(event_id AS VARCHAR) AS field_1,
         |  'x, y' AS field_2, 'z' AS field_3 FROM events""".stripMargin,
 
+    // analytic: every typed slot derived from event_id arithmetic, never
+    // from re-running the detection cascade
+    "q_csv_typed" ->
+      """SELECT event_id,
+        |  CAST(event_id AS VARCHAR) AS id,
+        |  CASE WHEN event_id % 7 IN (0, 1, 2) THEN 'bool'
+        |       WHEN event_id % 7 IN (3, 4) THEN 'int'
+        |       WHEN event_id % 7 = 5 THEN 'float' ELSE 'string' END AS flag_kind,
+        |  CASE event_id % 7 WHEN 0 THEN TRUE WHEN 1 THEN FALSE WHEN 2 THEN TRUE END AS flag_bool,
+        |  CASE event_id % 7 WHEN 3 THEN 42 WHEN 4 THEN -7 END AS flag_int,
+        |  CASE event_id % 7 WHEN 5 THEN CAST(3.9 AS DOUBLE) END AS flag_float,
+        |  CASE event_id % 7 WHEN 6 THEN 'hello' END AS flag_str,
+        |  CASE WHEN event_id % 3 = 2 THEN 'string' ELSE 'timestamp' END AS ts_kind,
+        |  CASE WHEN event_id % 3 IN (0, 1) THEN TIMESTAMP '2024-01-02 03:04:05' END AS ts_value,
+        |  CASE WHEN event_id % 3 = 0 THEN TIMESTAMP '2024-01-02 03:04:05' END AS ts_parsed,
+        |  'x, y' AS note
+        |FROM events""".stripMargin,
+
     "q_multiline_haltbefore" -> (cte + multilineOracle("regexp_matches(text, '^(CALL|INFO|ask)')")),
 
     "q_multiline_through" -> (cte + multilineOracle("NOT regexp_matches(text, '^(CALL|INFO|ask)')")),
@@ -455,6 +517,18 @@ object Queries {
       """SELECT conv_id, turn_idx, text FROM transcripts
         |WHERE (text LIKE '%status=err%' OR text LIKE '%ask%')
         |  AND text NOT LIKE '%note="lvl 4"%'""".stripMargin),
+
+    // analytic: *.log ⇔ id%4=0; file_1*.txt ⇔ id%4=1 and id starts "1";
+    // exclude *3.log ⇔ id%4=0 and id ends "3"; dir include inert (specific
+    // includes present)
+    "q_path_filter" ->
+      """SELECT event_id,
+        |  '/data/logs/app' || CAST(event_id % 5 AS VARCHAR) || '/file_' || CAST(event_id AS VARCHAR) ||
+        |    (CASE event_id % 4 WHEN 0 THEN '.log' WHEN 1 THEN '.txt' WHEN 2 THEN '.json' ELSE '.tmp' END) AS path
+        |FROM events
+        |WHERE (event_id % 4 = 0
+        |       OR (event_id % 4 = 1 AND CAST(event_id AS VARCHAR) LIKE '1%'))
+        |  AND NOT (event_id % 4 = 0 AND CAST(event_id AS VARCHAR) LIKE '%3')""".stripMargin,
 
     "q_sink_counts" -> (cte + routedCte +
       """SELECT 'all' AS sink, route_key, count(*) AS rows_delivered,

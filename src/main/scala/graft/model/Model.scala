@@ -102,14 +102,27 @@ final case class PipelineConfig(
     sinks: Seq[SinkRule] = Seq(SinkRule("console")),
     saltBuckets: Int = 16,
     lineagePartitions: Int = 32,
-    checkpointDir: Option[String] = None
+    checkpointDir: Option[String] = None,
+    /** Path include patterns over manifest/data-file paths — S3 semantics
+      * of internal/watcher/watcher.go:213-275 (Go filepath.Match globs,
+      * broad-dir vs specific includes). Empty ⇒ admit all.
+      */
+    include: Seq[String] = Nil,
+    /** Path exclude patterns (basename or full path, watcher.go:267-275). */
+    exclude: Seq[String] = Nil
 ) {
-  def validate(): Either[String, PipelineConfig] =
+  def validate(
+      isDir: String => Boolean = graft.operators.PathFilter.localIsDir
+  ): Either[String, PipelineConfig] =
     if (separator.isEmpty) Left("separator must be non-empty")
     else if (sinks.isEmpty) Left("at least one sink is required")
     else if (sinks.map(_.name).distinct.size != sinks.size)
       Left("sink names must be unique")
     else if (saltBuckets < 1) Left("saltBuckets must be >= 1")
     else if (lineagePartitions < 1) Left("lineagePartitions must be >= 1")
+    else if (include.nonEmpty &&
+      graft.operators.PathFilter.validateRoots(include, isDir).isLeft)
+      Left(graft.operators.PathFilter.validateRoots(include, isDir)
+        .left.getOrElse(""))
     else Right(this)
 }

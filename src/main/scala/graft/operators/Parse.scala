@@ -186,6 +186,31 @@ object Parse {
   private def try_to_timestamp(c: Column, fmt: Column): Column =
     org.apache.spark.sql.functions.try_to_timestamp(c, fmt)
 
+  /** Typed materialization of one detected value (csv.go:148-202
+    * `detectType`): a struct with the detected kind plus exactly one
+    * populated slot, Go precedence included ("1"/"on" are bools before
+    * ints; the first matching timestamp layout wins). The columnar
+    * analogue of Go's `interface{}` cell: a fixed struct instead of a
+    * dynamic type, so Catalyst prunes the slots a query doesn't read.
+    * Empty and unrecognized values land in `str_v` (Go returns the
+    * trimmed string in both cases).
+    */
+  def typedValue(v0: Column): Column = {
+    // Spark's csv maps empty fields to null where Go's encoding/csv yields
+    // "" — normalize so both land in the 'empty' kind with str_v = ""
+    val v = coalesce(v0, lit(""))
+    val t = trim(v)
+    val kind = detectTypeKind(v)
+    struct(
+      kind.as("kind"),
+      when(kind === "bool", lower(t).isin("true", "yes", "1", "on")).as("bool_v"),
+      when(kind === "int", try_cast(t, "long")).as("int_v"),
+      when(kind === "float", try_cast(t, "double")).as("float_v"),
+      when(kind === "timestamp",
+        coalesce(tsFormats.map(f => try_to_timestamp(t, lit(f))): _*)).as("ts_v"),
+      when(kind === "string" || kind === "empty", t).as("str_v"))
+  }
+
   /** Proper quoted-CSV split of a single line with custom delimiter —
     * `from_csv` with an all-string schema of n generated `field_i` names
     * (csv.go:89-94), plus `extra` overflow handling is bounded by n.
@@ -226,6 +251,12 @@ object Parse {
     val data =
       if (hasHeaders) {
         val minOrder = lines.agg(min(col(orderCol))).collect().head.get(0)
+        // the header skip must drop exactly ONE row; a duplicated minimum
+        // would silently swallow a data line, so enforce the uniqueness
+        // precondition (cheap: limit(2) short-circuits the scan)
+        require(lines.filter(col(orderCol) === lit(minOrder)).limit(2).count() == 1,
+          s"csvTable: header row must be unique by '$orderCol' " +
+            s"(multiple rows share the minimum $minOrder)")
         lines.filter(col(orderCol) =!= lit(minOrder))
       } else lines
     val f = csvFields(col(lineCol), n, delim)
@@ -234,5 +265,32 @@ object Parse {
       f.getField(s"field_${i + 1}").as(name)
     }
     data.select(col(orderCol) +: cols: _*)
+  }
+
+  /** [[csvTable]] with the reference's auto-detect-types + configured
+    * timestamp field (csv.go:95-131): every named column additionally
+    * materializes as `<name>_typed` ([[typedValue]] struct), and when
+    * `timestampField`/`timestampFormat` are configured, the companion
+    * `<field>_parsed` timestamp column is added (null where the value
+    * doesn't parse in that ONE format — the columnar analogue of Go's
+    * absent map key; only the configured layout is tried, exactly like
+    * `time.Parse(p.timestampFormat, ...)`). `timestampFormat` is a Spark
+    * datetime pattern — translating a Go layout is the caller's config
+    * concern.
+    */
+  def csvTableTyped(lines: DataFrame, lineCol: String, orderCol: String,
+      delim: String = ",", hasHeaders: Boolean = true,
+      customHeaders: Seq[String] = Nil, extraSlots: Int = 4,
+      timestampField: String = "", timestampFormat: String = ""): DataFrame = {
+    val base = csvTable(lines, lineCol, orderCol, delim, hasHeaders,
+      customHeaders, extraSlots)
+    val named = base.columns.filter(c => c != orderCol && !c.startsWith("extra_field_"))
+    val typed = named.foldLeft(base)((df, c) =>
+      df.withColumn(s"${c}_typed", typedValue(col(c))))
+    if (timestampField.nonEmpty && timestampFormat.nonEmpty &&
+        named.contains(timestampField))
+      typed.withColumn(s"${timestampField}_parsed",
+        try_to_timestamp(trim(col(timestampField)), lit(timestampFormat)))
+    else typed
   }
 }

@@ -38,6 +38,36 @@ class CsvTableSpec extends AnyFunSuite {
     assert(generated.columns.toSeq == Seq("line_num", "field_1", "v"))
   }
 
+  test("duplicated header-order rows are rejected, not silently dropped") {
+    val lines = Seq((1, "name,age"), (1, "alice,30"), (2, "bob,25"))
+      .toDF("line_num", "line")
+    val e = intercept[IllegalArgumentException](
+      Parse.csvTable(lines, "line", "line_num").collect())
+    assert(e.getMessage.contains("header row must be unique"))
+  }
+
+  test("typed table: Go-precedence typed slots + configured ts companion") {
+    val lines = Seq(
+      (0, "id,flag,ts"),
+      (1, "7,1,2024-01-02 03:04:05"),
+      (2, "8,off,2024/01/02 03:04:05"),
+      (3, "9,3.5,n/a"),
+      (4, "10,, ")).toDF("line_num", "line")
+    val t = Parse.csvTableTyped(lines, "line", "line_num", extraSlots = 0,
+      timestampField = "ts", timestampFormat = "yyyy-MM-dd HH:mm:ss")
+    val got = t.orderBy("line_num").select(
+      $"id_typed.kind", $"id_typed.int_v",
+      $"flag_typed.kind", $"flag_typed.bool_v", $"flag_typed.float_v", $"flag_typed.str_v",
+      $"ts_typed.kind", $"ts_parsed".isNotNull)
+      .as[(String, Long, String, Option[Boolean], Option[Double], String, String, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("int", 7L, "bool", Some(true), None, null, "timestamp", true),
+      ("int", 8L, "bool", Some(false), None, null, "timestamp", false),
+      ("int", 9L, "float", None, Some(3.5), null, "string", false),
+      ("int", 10L, "empty", None, None, "", "empty", false)))
+  }
+
   test("exactDeduped keeps the lowest id per content and preserves schema") {
     val df = Seq((1L, "a"), (2L, "b"), (5L, "a"), (3L, "b"), (4L, "c"))
       .toDF("doc_id", "text")

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.PipelineConfig
+import graft.operators.PathFilter
+
+/** S3 path include/exclude semantics, pinned against the reference's
+  * matrix (internal/watcher/watcher_test.go:184-233 include/exclude cases,
+  * watcher_test.go:150-163 overlap cases) plus Go filepath.Match behavior.
+  */
+class PathFilterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/watch"
+  private val files = Seq("log1.txt", "log2.log", "data.json", "config.yaml")
+    .map(f => s"$dir/$f")
+  private val isDir: String => Boolean = _ == dir
+
+  private def surviving(include: Seq[String], exclude: Seq[String]): Set[String] = {
+    val c = PathFilter.compile(include, exclude, isDir)
+    val jvm = files.filter(PathFilter.matches(c, _)).toSet
+    val col_ = files.toDF("p")
+      .filter(PathFilter.column(c, col("p"))).as[String].collect().toSet
+    assert(jvm == col_, "driver matcher and Column must agree")
+    jvm.map(_.split("/").last)
+  }
+
+  test("watcher matrix: include only log files") {
+    assert(surviving(Seq(dir, "*.log"), Nil) == Set("log2.log"))
+  }
+
+  test("watcher matrix: exclude log files") {
+    assert(surviving(Seq(dir), Seq("*.log")) ==
+      Set("log1.txt", "data.json", "config.yaml"))
+  }
+
+  test("watcher matrix: include txt and log, exclude json") {
+    assert(surviving(Seq(dir, "*.txt", "*.log"), Seq("*.json")) ==
+      Set("log1.txt", "log2.log"))
+  }
+
+  test("broad dir include admits subtree only when no specific includes") {
+    assert(surviving(Seq(dir), Nil) == files.map(_.split("/").last).toSet)
+    // exact-file include: matches by basename or full path
+    assert(surviving(Seq(s"$dir/log1.txt"), Nil) == Set("log1.txt"))
+    assert(surviving(Seq("data.json"), Nil) == Set("data.json"))
+    // empty include admits all
+    assert(surviving(Nil, Nil) == files.map(_.split("/").last).toSet)
+  }
+
+  test("glob semantics are Go filepath.Match: * and ? stop at /, classes work") {
+    def m(pat: String, s: String): Boolean = s.matches(PathFilter.globToRegex(pat))
+    assert(m("*.log", "a.log") && !m("*.log", "d/a.log"))
+    assert(m("log?.txt", "log1.txt") && !m("log?.txt", "log12.txt"))
+    assert(m("log[0-9].txt", "log7.txt") && !m("log[0-9].txt", "logx.txt"))
+    assert(m("log[^0-9].txt", "logx.txt") && !m("log[^0-9].txt", "log7.txt"))
+    assert(m("/var/log/*.log", "/var/log/sys.log") && !m("/var/log/*.log", "/var/log/d/sys.log"))
+    assert(m("a\\*b", "a*b") && !m("a\\*b", "axb"))
+    assert(m("a.b", "a.b") && !m("a.b", "axb")) // '.' is literal
+    intercept[IllegalArgumentException](PathFilter.globToRegex("bad["))
+  }
+
+  test("clean and glob-root derivation") {
+    assert(PathFilter.clean("/a//b/./c/") == "/a/b/c")
+    assert(PathFilter.clean("a/../b") == "b")
+    assert(PathFilter.clean("") == ".")
+    assert(PathFilter.deriveGlobRoot("/var/log/*.log") == "/var/log")
+    assert(PathFilter.deriveGlobRoot("logs/**/*.txt") == "logs")
+    assert(PathFilter.deriveGlobRoot("*.log") == ".")
+    assert(PathFilter.deriveScanRoots(Seq("/var/log/*.log", "/var/log/x*"),
+      _ => false) == Seq("/var/log"))
+    assert(PathFilter.deriveScanRoots(Nil, _ => false) == Seq("."))
+  }
+
+  test("overlap validation mirrors NewWatcher: nested roots rejected, duplicates fine") {
+    val dirs = Set("/tmp/logs", "/var/logs", "/opt/logs", "/tmp/logs/app")
+    val isD: String => Boolean = dirs.contains
+    assert(PathFilter.validateRoots(Seq("/tmp/logs", "/var/logs", "/opt/logs"), isD).isRight)
+    assert(PathFilter.validateRoots(Seq("/tmp/logs", "/tmp/logs/app"), isD).isLeft)
+    assert(PathFilter.validateRoots(Seq("/tmp/logs", "/tmp/logs"), isD).isRight)
+    // config validation surfaces the same error
+    assert(PipelineConfig(include = Seq("/tmp/logs", "/tmp/logs/app")).validate(isD).isLeft)
+    assert(PipelineConfig(include = Seq("/tmp/logs")).validate(isD).isRight)
+  }
+}
