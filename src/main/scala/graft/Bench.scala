@@ -73,13 +73,16 @@ object Bench {
 
     // ---- part 1: per-query timings at the configured parallelism
     val spark = session(cpus)
+    // a failed query records the sentinel -1 (and lands in "failed") so
+    // downstream consumers can't mistake breakage for a fast run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0 }
     }
+    val failed = results.collect { case (n, t) if t < 0 => n }
     // materialize the deterministic transcript table once (untimed setup)
     Transcripts.synthesize(spark, benchTurns / 50, 50, numPartitions = 64)
       .toDF().write.mode("overwrite").parquet(turnsPath)
@@ -105,7 +108,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
       f"""{"turns":$benchTurns,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
         f""""sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,""" +
@@ -113,6 +117,6 @@ object Bench {
         f""""efficiency":$efficiency%.3f,""" +
         f""""max_cores":$cpus,"max_cores_sec":$tMax%.3f,""" +
         f""""max_cores_rows_per_sec":${(benchTurns / tMax).toLong}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

@@ -26,15 +26,20 @@ import graft.sources.TranscriptTable
   *                     so every sink and every count derives from the same
   *                     fan-out (consistent-fan-out requirement, SURVEY §4)
   *  5. deliver       — per-sink filtered writes to
-  *                     `<outDir>/<sink>/batch=<id>/route_key=…`; the batch
-  *                     id is a pure function of the input file set, and a
-  *                     write is skipped if its directory already exists —
-  *                     idempotent replay, so the crash window between sink
-  *                     write and lineage commit yields no duplicates
+  *                     `<outDir>/<sink>/batch=<id>/route_key=…` where the
+  *                     batch id is a pure function of ONE file's path and
+  *                     content hash (content-addressed per file, NOT per
+  *                     run): a batch dir that already exists is never
+  *                     rewritten, so replay after a crash re-delivers
+  *                     nothing even if the todo set has meanwhile changed
+  *                     (a run-wide id would mint fresh dirs for
+  *                     already-delivered files in exactly that window)
   *  6. commit        — per-(file, sink) lineage rows written atomically
   *                     AFTER all sink writes succeeded, mirroring "offset
   *                     saved only after the callback batch completed"
-  *                     (internal/collector/collector.go:104-117)
+  *                     (internal/collector/collector.go:104-117); the rows
+  *                     are computed and written distributed (one shared
+  *                     scan), never collected per-file to the driver
   */
 object Pipeline {
 
@@ -48,11 +53,15 @@ object Pipeline {
       inputRows: Long,
       blankRows: Long)
 
-  /** Deterministic batch id from the set of input files — replay-stable. */
-  def batchId(files: Seq[String]): String = {
+  /** Content-addressed batch id of ONE input file: a pure function of
+    * (path, content hash), so replay of the same content always targets
+    * the same sink directory — the idempotency key. A reprocessed file
+    * with NEW content lands in a NEW dir (and its stale dir is removed).
+    */
+  def fileBatchId(file: String, contentHash: String): String = {
     val md = MessageDigest.getInstance("SHA-256")
-    files.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
-    md.digest().take(8).map("%02x".format(_)).mkString
+    md.update(s"$file:$contentHash".getBytes("UTF-8"))
+    md.digest().take(6).map("%02x".format(_)).mkString
   }
 
   def run(
@@ -110,7 +119,7 @@ object Pipeline {
     // reprocessed file with NEW content must land in a NEW batch dir) and
     // for the lineage rows
     val fps = todo.map(f => f -> currentHash.getOrElse(f, Fingerprint.ofFile(spark, f))).toMap
-    val bid = batchId(todo.map(f => s"$f:${fps(f)}"))
+    val bids = todo.map(f => f -> fileBatchId(f, fps(f))).toMap
     // A5 collector metrics (lines_total / bytes_total / blank) ride on the
     // counting job via Observation — no extra scan of the input
     val obs = new org.apache.spark.sql.Observation(s"graft-$runId")
@@ -147,52 +156,93 @@ object Pipeline {
       val fsRoot = new Path(outDir)
       val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-      // deliver per sink (idempotent via batch dir existence)
+      // an invalidated file's OLD content dirs are superseded — remove them
+      // so sink totals always reflect the latest content exactly once
+      for {
+        f <- invalidated; oldHash <- hashByFile.get(f); rule <- cfg.sinks
+      } fs.delete(new Path(fsRoot,
+        s"${rule.name}/batch=${fileBatchId(f, oldHash)}"), true)
+
+      // batch ids ride the rows: basename → bid via a tiny broadcast join
+      // (input_file_name() is a qualified URI while manifest paths may be
+      // scheme-less, but data-file names are unique — SnapshotTable.append
+      // uuid-prefixes them)
+      import spark.implicits._
+      val bidDf = broadcast(
+        todo.map(f => (new Path(f).getName, bids(f))).toDF("fname", "batch"))
+      val routedB = routed
+        .withColumn("fname", substring_index(col("src_file"), "/", -1))
+        .join(bidDf, "fname")
+
+      // deliver per sink: ONE distributed write partitioned by
+      // (batch, route_key), then one atomic rename per NEW batch dir.
+      // Already-present dirs (crash-replay window) are never rewritten,
+      // whatever the current todo set looks like.
       cfg.sinks.foreach { rule =>
-        val dest = new Path(fsRoot, s"${rule.name}/batch=$bid")
-        if (!fs.exists(dest)) {
-          val staging = new Path(fsRoot, s"_staging-${rule.name}-$bid-$runId")
-          Route.forSink(routed, rule)
-            .select(col("ts"), col("host"), col("route_key"),
+        val sinkRoot = new Path(fsRoot, rule.name)
+        val existing: Set[String] =
+          if (!fs.exists(sinkRoot)) Set.empty
+          else fs.listStatus(sinkRoot).map(_.getPath.getName)
+            .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=") }
+            .toSet
+        val newBids = todo.map(bids).filterNot(existing).toSet
+        if (newBids.nonEmpty) {
+          val staging = new Path(fsRoot, s"_staging-${rule.name}-$runId")
+          val base = Route.forSink(routedB, rule)
+          val subset =
+            if (newBids.size == todo.size) base
+            else base.filter(col("batch").isin(newBids.toSeq: _*))
+          subset
+            .select(col("ts"), col("host"), col("route_key"), col("batch"),
               col("text").as("message"), col("conv_id"), col("turn_idx"),
               col("verb"), col("dur_ms"), col("status"), col("tool_family"),
               col("src_file"))
-            .write.mode("overwrite").partitionBy("route_key")
+            .write.mode("overwrite").partitionBy("batch", "route_key")
             .parquet(staging.toString)
-          fs.mkdirs(dest.getParent)
-          require(fs.rename(staging, dest), s"sink commit rename failed for ${rule.name}")
+          fs.mkdirs(sinkRoot)
+          newBids.foreach { b =>
+            val src = new Path(staging, s"batch=$b")
+            val dest = new Path(sinkRoot, s"batch=$b")
+            if (fs.exists(src) && !fs.exists(dest))
+              require(fs.rename(src, dest),
+                s"sink commit rename failed for ${rule.name}/batch=$b")
+          }
+          fs.delete(staging, true)
         }
       }
-      // per-(sink, src_file) delivered counts in ONE scan for lineage.
-      // Counts key by basename: input_file_name() is a qualified URI while
-      // manifest paths may be scheme-less, but data-file names are unique
-      // (uuid-prefixed by SnapshotTable.append).
-      val perFileCounts: Map[String, Map[String, Long]] = routed
-        .select(substring_index(col("src_file"), "/", -1).as("fname"),
-          explode(Route.acceptingSinks(cfg.sinks, col("text"))).as("sink"))
-        .groupBy("sink", "fname").agg(count(lit(1)).as("n"))
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (sink, rows) =>
-          sink -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
 
+      // per-(sink, file) delivered counts in ONE shared scan, kept
+      // DISTRIBUTED: the (todo × sinks) grid left-joins the counts and the
+      // lineage rows are written by Spark — nothing per-file ever reaches
+      // the driver (at ~800k files × S sinks that is a dataset, not
+      // driver metadata)
       val now = System.currentTimeMillis()
-      // iterate cfg.sinks (not perFileCounts keys): a sink that delivered
-      // zero rows still needs lineage entries, else its files would be
-      // retried forever
-      val entries = for {
-        rule <- cfg.sinks
-        file <- todo
-      } yield LineageEntry(runId, snapId, file, rule.name,
-        perFileCounts.getOrElse(rule.name, Map.empty)
-          .getOrElse(new Path(file).getName, 0L), fps(file), now)
-      lineage.commit(entries)
+      val countsDf = routedB
+        .select(col("fname"), explode(Route.acceptingSinks(cfg.sinks, col("text"))).as("sink"))
+        .groupBy("sink", "fname").agg(count(lit(1)).as("n"))
+      val fileDf = todo.map(f => (new Path(f).getName, f, fps(f)))
+        .toDF("fname", "file", "contentHash")
+      val sinkDf = cfg.sinks.map(_.name).toDF("sink")
+      // the grid (not countsDf's keys): a sink that delivered zero rows
+      // still needs lineage entries, else its files would retry forever
+      val entriesDf = broadcast(fileDf).crossJoin(sinkDf)
+        .join(countsDf, Seq("sink", "fname"), "left")
+        .select(lit(runId).as("runId"), lit(snapId).as("snapshotId"),
+          col("file"), col("sink"),
+          coalesce(col("n"), lit(0L)).as("rowsDelivered"),
+          col("contentHash"), lit(now).as("committedAtMs"))
+      lineage.commitDf(entriesDf, runId)
 
-      // the counting job above materialized src, so the observation is set
+      // report totals come from the just-committed (small) lineage slice
+      val perSinkDelivered = lineage.entriesDf()
+        .filter(col("runId") === runId)
+        .groupBy("sink").agg(sum("rowsDelivered").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // the lineage write materialized src, so the observation is set
       val metrics = obs.get
       RunReport(runId, snapId, todo, invalidated, pruned,
-        cfg.sinks.map(r => r.name ->
-          perFileCounts.getOrElse(r.name, Map.empty).values.sum).toMap,
+        cfg.sinks.map(r => r.name -> perSinkDelivered.getOrElse(r.name, 0L)).toMap,
         metrics("lines_total").asInstanceOf[Long],
         metrics("blank_total").asInstanceOf[Long])
     }

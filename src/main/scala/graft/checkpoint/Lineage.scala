@@ -24,67 +24,88 @@ final case class LineageEntry(
     contentHash: String,
     committedAtMs: Long)
 
-/** Driver-committed lineage checkpoint store: one atomic text file per run
-  * (tmp + rename), pipe-separated entries. Single-writer (the driver), so
-  * no SQLite-style busy retry is needed; atomicity comes from the
-  * filesystem rename, mirroring the WAL commit point.
+/** Lineage checkpoint store as a PARQUET TABLE: one atomic commit
+  * directory per run (`commit-<id>/`, written distributed by Spark to a
+  * tmp dir and renamed into place), so committing a run's entries never
+  * funnels per-file rows through the driver — at ~800k data files × S
+  * sinks the entries are themselves a dataset. Readers take the union of
+  * all commit dirs; duplicates per (file, sink) resolve last-writer-wins
+  * by `committedAtMs` (Pipeline.run), which is what makes every mutation
+  * here crash-safe: additions and compactions both land as a whole
+  * directory rename, and a crash between steps only ever leaves
+  * superseded duplicates, never a hole.
   */
 final class LineageStore(spark: SparkSession, root: String) {
   private val conf = spark.sparkContext.hadoopConfiguration
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(conf)
 
-  def readAll(): Seq[LineageEntry] = {
-    if (!fs.exists(rootPath)) return Seq.empty
-    fs.listStatus(rootPath).toSeq
-      .filter(_.getPath.getName.startsWith("commit-"))
-      .sortBy(_.getPath.getName)
-      .flatMap { st =>
-        val in = fs.open(st.getPath)
-        val text =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-          finally in.close()
-        text.split("\n").filter(_.nonEmpty).map { line =>
-          val p = line.split("\\|", -1)
-          LineageEntry(p(0), p(1).toLong, p(2), p(3), p(4).toLong, p(5), p(6).toLong)
-        }
-      }
+  private def commitDirs: Seq[Path] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("commit-")).sortBy(_.getName)
+
+  /** All committed entries as a DataFrame (LineageEntry schema). */
+  def entriesDf(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dirs = commitDirs
+    if (dirs.isEmpty) spark.emptyDataset[LineageEntry].toDF()
+    else spark.read.parquet(dirs.map(_.toString): _*)
   }
 
-  /** Atomically commit one run's entries. */
+  /** Driver-side convenience view (resume logic, tests). The per-run
+    * COMMIT path never goes through here.
+    */
+  def readAll(): Seq[LineageEntry] = {
+    import spark.implicits._
+    entriesDf().as[LineageEntry].collect().toSeq
+  }
+
+  /** Atomically commit one run's entries (small/test-sized sets). */
   def commit(entries: Seq[LineageEntry]): Unit = {
     if (entries.isEmpty) return
+    import spark.implicits._
+    commitDf(spark.createDataset(entries).toDF(), entries.head.runId)
+  }
+
+  /** Distributed atomic commit: Spark writes the entries to a tmp dir,
+    * then one rename publishes the commit — the WAL commit point.
+    * `df` must have the LineageEntry schema.
+    */
+  def commitDf(df: org.apache.spark.sql.DataFrame, commitId: String): Unit = {
     fs.mkdirs(rootPath)
-    val runId = entries.head.runId
-    val body = entries.map(e =>
-      s"${e.runId}|${e.snapshotId}|${e.file}|${e.sink}|${e.rowsDelivered}|${e.contentHash}|${e.committedAtMs}")
-      .mkString("\n")
-    val tmp = new Path(rootPath, s"_tmp-$runId")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    require(fs.rename(tmp, new Path(rootPath, s"commit-$runId.txt")),
+    val tmp = new Path(rootPath, s"_tmp-$commitId")
+    // fixed column order so every commit dir carries the identical schema
+    val cols = Seq("runId", "snapshotId", "file", "sink", "rowsDelivered",
+      "contentHash", "committedAtMs")
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(tmp, new Path(rootPath, s"commit-$commitId")),
       "lineage commit rename failed")
   }
 
   /** Remove entries for files no longer present (J4 removal set-difference,
     * mirroring offset Delete on file removal — collector.go:206-214).
-    * Rewrites the store compacted; returns removed entries.
+    * Crash-safe order: the compacted store lands under a FRESH commit name
+    * FIRST, and only then are the superseded commits deleted — a crash in
+    * between leaves duplicate entries (harmless, last-writer-wins), never
+    * an empty store. Returns removed entries.
     */
   def pruneTo(liveFiles: Set[String]): Seq[LineageEntry] = {
-    val all = readAll()
-    val (keep, drop) = all.partition(e => liveFiles.contains(e.file))
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val old = commitDirs
+    if (old.isEmpty) return Seq.empty
+    val liveDf = spark.createDataset(liveFiles.toSeq).toDF("file")
+    val all = entriesDf()
+    val drop = all.join(broadcast(liveDf), Seq("file"), "left_anti")
+      .select("runId", "snapshotId", "file", "sink", "rowsDelivered",
+        "contentHash", "committedAtMs")
+      .as[LineageEntry].collect().toSeq
     if (drop.nonEmpty) {
-      val old = fs.listStatus(rootPath).filter(_.getPath.getName.startsWith("commit-"))
-      fs.mkdirs(rootPath)
-      val tmp = new Path(rootPath, "_tmp-compact")
-      val body = keep.map(e =>
-        s"${e.runId}|${e.snapshotId}|${e.file}|${e.sink}|${e.rowsDelivered}|${e.contentHash}|${e.committedAtMs}")
-        .mkString("\n")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      old.foreach(s => fs.delete(s.getPath, false))
-      require(fs.rename(tmp, new Path(rootPath, "commit-00000000-compacted.txt")),
-        "lineage compaction rename failed")
+      val keep = all.join(broadcast(liveDf), Seq("file"), "left_semi")
+      commitDf(keep, s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
+      old.foreach(p => fs.delete(p, true))
     }
     drop
   }

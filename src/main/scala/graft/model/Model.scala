@@ -92,6 +92,21 @@ final case class MultilineSpec(
     startPattern: Option[String] = None
 )
 
+object MultilineSpec {
+  /** The Java stack-trace preset, patterns verbatim from the reference's
+    * config loader (cmd/freader/config.go:105-120: mode continueThrough,
+    * start `^(ERROR|WARN|INFO|Exception)`, cond `^(\s|at\s|Caused by:)`,
+    * timeout 500ms — the timeout pairs with the streaming idle flush).
+    */
+  val Java: MultilineSpec = MultilineSpec(
+    MultilineMode.ContinueThrough,
+    "^(\\s|at\\s|Caused by:)",
+    Some("^(ERROR|WARN|INFO|Exception)"))
+
+  /** The preset's timeout (config.go:117-119), for the streaming flush. */
+  val JavaTimeoutMs: Long = 500L
+}
+
 /** Engine configuration, the analogue of the reference's nested Config
   * (internal/collector/config.go:17-32 + cmd/freader/config.go:41-52).
   * `validate()` mirrors Config.Validate strictness (config.go:190-237).

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.model.{MultilineSpec, Turn}
 import graft.operators.{Parse, Route, Segments}
@@ -44,9 +44,9 @@ object TranscriptStream {
     * turn_idx (cross-batch order is arrival order, as with a live tail).
     * Completed records are emitted append-mode; the open buffer rides in
     * GroupState until a later batch closes it — exactly the reference's
-    * "no flush until the record closes" semantics. There is deliberately
-    * no wall-clock flush by default (A2's timeout flush is an at-least-once
-    * window; see SURVEY §2 A2).
+    * "no flush until the record closes" semantics. No wall-clock flush:
+    * exactly-once, but an abandoned conversation never emits its tail —
+    * pair with [[assembleStreamIdleFlush]] when A2 semantics are wanted.
     */
   def assembleStream(turns: Dataset[Turn], spec: MultilineSpec): Dataset[SegRecord] = {
     import turns.sparkSession.implicits._
@@ -65,5 +65,72 @@ object TranscriptStream {
             SegRecord(conv, st.nextIdx + i, r)
           }
       }
+  }
+
+  /** [[assembleStream]] plus the reference's A2 idle-timeout flush
+    * (internal/tailer/multline_reader.go:74-114): a conversation idle past
+    * `idleTimeoutMs` flushes its open buffer as a (possibly partial)
+    * record. This is explicitly an AT-LEAST-ONCE window (README.md:250-262):
+    * lines arriving after the flush start a fresh record, so a consumer
+    * may see one logical record split in two.
+    *
+    * Expressed with Spark 4's `transformWithState` (the modern stateful
+    * API) because its timers are first-class: one processing-time timer
+    * per conversation, re-armed on every data batch, flushes on expiry.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def assembleStreamIdleFlush(turns: Dataset[Turn], spec: MultilineSpec,
+      idleTimeoutMs: Long): Dataset[SegRecord] = {
+    import turns.sparkSession.implicits._
+    turns.groupByKey(_.conv_id)
+      .transformWithState(new SegmentProcessor(spec, idleTimeoutMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** Per-conversation FSM as a StatefulProcessor: state = open buffer +
+    * record cursor (SegState, same as the GroupState flavor); one idle
+    * timer per key.
+    */
+  final class SegmentProcessor(spec: MultilineSpec, idleTimeoutMs: Long)
+      extends StatefulProcessor[String, Turn, SegRecord] {
+    @transient private var st: ValueState[SegState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SegState]("seg",
+        Encoders.product[SegState], TTLConfig.NONE)
+
+    private def current: SegState =
+      if (st.exists()) st.get() else SegState(Nil, 0, -1)
+
+    override def handleInputRows(conv: String, it: Iterator[Turn],
+        timerValues: TimerValues): Iterator[SegRecord] = {
+      val cur = current
+      val fsm = new Segments.Fsm(spec)
+      fsm.restoreBuffer(cur.buf)
+      val sorted = it.toSeq.filter(_.turn_idx > cur.lastTurn).sortBy(_.turn_idx)
+      sorted.foreach(t => fsm.write(t.text))
+      val recs = fsm.drain()
+      val lastTurn = sorted.lastOption.map(_.turn_idx).getOrElse(cur.lastTurn)
+      st.update(SegState(fsm.bufferLines.toList, cur.nextIdx + recs.size, lastTurn))
+      // re-arm the idle timer: data arrived, so the clock restarts
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + idleTimeoutMs)
+      recs.iterator.zipWithIndex.map { case (r, i) =>
+        SegRecord(conv, cur.nextIdx + i, r)
+      }
+    }
+
+    override def handleExpiredTimer(conv: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SegRecord] = {
+      val cur = current
+      if (cur.buf.isEmpty) Iterator.empty
+      else {
+        // A2 flush: emit the open buffer, advance the cursor — a line
+        // arriving later starts record nextIdx+1 (the at-least-once split)
+        st.update(SegState(Nil, cur.nextIdx + 1, cur.lastTurn))
+        Iterator.single(SegRecord(conv, cur.nextIdx, cur.buf.mkString("\n")))
+      }
+    }
   }
 }

@@ -48,6 +48,26 @@ class FsmSpec extends AnyFunSuite {
       "Exception again\n  at com.example.Baz"))
   }
 
+  test("Java preset (config.go:105-120 verbatim): start/cond patterns group a real trace") {
+    val lines = Seq(
+      "ERROR request failed",
+      "Exception in thread \"main\" java.lang.IllegalStateException",
+      "\tat com.example.Service.run(Service.java:42)",
+      "Caused by: java.io.IOException: broken pipe",
+      "\tat com.example.IO.write(IO.java:7)",
+      "INFO recovered",
+      "stray line")
+    assert(run(MultilineSpec.Java, lines) == Seq(
+      "ERROR request failed",
+      "Exception in thread \"main\" java.lang.IllegalStateException" +
+        "\n\tat com.example.Service.run(Service.java:42)" +
+        "\nCaused by: java.io.IOException: broken pipe" +
+        "\n\tat com.example.IO.write(IO.java:7)",
+      "INFO recovered",
+      "stray line"))
+    assert(MultilineSpec.JavaTimeoutMs == 500L)
+  }
+
   test("continueThrough + StartPattern: non-start closer emits standalone") {
     val spec = MultilineSpec(ContinueThrough, condPattern = "^\\s",
       startPattern = Some("^Exception"))

@@ -46,6 +46,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idle-timeout flush emits the open buffer as an at-least-once record") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val spec = MultilineSpec(MultilineMode.HaltBefore, "^(INFO|CALL)")
+    val q = TranscriptStream.assembleStreamIdleFlush(in.toDS(), spec, idleTimeoutMs = 300L)
+      .writeStream.format("memory").queryName("seg_timeout_out")
+      .outputMode(OutputMode.Append).start()
+    // the engine fires timeout batches on its own wall clock — poll, don't
+    // processAllAvailable-and-assert (that races the auto-flush)
+    def pollRows(atLeast: Int): Set[(String, Int, String)] = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var rows = Set.empty[(String, Int, String)]
+      while (rows.size < atLeast && System.nanoTime() < deadline) {
+        rows = spark.table("seg_timeout_out").as[(String, Int, String)].collect().toSet
+        if (rows.size < atLeast) Thread.sleep(100L)
+      }
+      rows
+    }
+    try {
+      // NOTE: no processAllAvailable here — with TimeMode.ProcessingTime
+      // the engine keeps running timer-check batches, so "all available"
+      // never becomes true; the sink is polled instead.
+
+      // record opens but never closes — with NoTimeout this would wait
+      // forever; the idle timeout must flush it without any further input
+      in.addData(turn("t1", 0, "INFO a"), turn("t1", 1, "detail 1"))
+      assert(pollRows(1) == Set(("t1", 0, "INFO a\ndetail 1")))
+
+      // lines arriving AFTER the flush start a fresh record (the
+      // at-least-once split) with the record index advanced past the flush;
+      // "INFO b" closes the post-flush record "detail 2" as idx 1; the
+      // open "INFO b" buffer then times out on its own as idx 2
+      in.addData(turn("t1", 2, "detail 2"), turn("t1", 3, "INFO b"))
+      assert(pollRows(3) == Set(
+        ("t1", 0, "INFO a\ndetail 1"),
+        ("t1", 1, "detail 2"),
+        ("t1", 2, "INFO b")))
+    } finally q.stop()
+  }
+
   test("windowed tool usage with watermark over a streaming source") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
