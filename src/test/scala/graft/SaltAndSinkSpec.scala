@@ -63,4 +63,18 @@ class SaltAndSinkSpec extends AnyFunSuite {
     assert(docs.forall(d => d.startsWith("{\"@timestamp\":") &&
       d.contains("\"message\":") && d.contains("\"host\":\"graft\"")))
   }
+
+  test("plain-text sink writes one line per delivered record and truncates on rewrite (K4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-textsink").toString
+    val turns = Transcripts.synthesize(spark, 5, 8, numPartitions = 2).toDF()
+    val routed = Route.routed(Enrich.enrich(turns))
+    val rule = SinkRule("txt", include = Seq("CALL"))
+    Route.writeTextSink(routed, rule, dir)
+    val lines = spark.read.text(s"$dir/txt").as[String].collect().toSeq
+    val want = Route.forSink(routed, rule).select("text").as[String].collect().toSeq
+    assert(lines.sorted == want.sorted)
+    // os.Create truncate semantics: a second write replaces, not appends
+    Route.writeTextSink(routed, rule, dir)
+    assert(spark.read.text(s"$dir/txt").count() == want.size)
+  }
 }
