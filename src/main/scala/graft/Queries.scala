@@ -284,11 +284,19 @@ object Queries {
         k = 5, bands = 24, planesPerBand = 4)
     }),
 
-    // IVF-bucketed ANN (deterministic coarse quantizer; full DuckDB replica)
+    // IVF-bucketed ANN (deterministic seed quantizer; full DuckDB replica)
     "q_knn_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
         k = 5, nCentroids = 8, nProbe = 4)
+    }),
+
+    // IVF over a Lloyd-refined quantizer (2 distributed k-means steps,
+    // r6-rounded means) — the production fit, oracle = unrolled iterations
+    "q_knn_ivf_kmeans" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfKnnKmeans(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 4, iters = 2)
     }),
 
     // language ID (stopword-hit heuristic)
@@ -316,6 +324,32 @@ object Queries {
     // multimodal: binary column features (SQL-expressible projection)
     "q_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Multimodal.mediaFromDocuments(documents(s, dir)))),
+
+    // FLAGSHIP training-data curation pipeline, end to end: exact dedup →
+    // MinHash-LSH near-dup removal (drop the higher id of each verified
+    // pair) → language gate → quality gate. Every stage is the scale-path
+    // operator (hash-groupBy, banded LSH, pure expressions); the corpus
+    // carries planted exact and near duplicates so the pipeline provably
+    // removes rows at every sf.
+    "q_prep_pipeline" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val nearDups = d.filter(col("doc_id") < 100 &&
+          size(split(lower(trim(col("text"))), "\\s+")) >= 12)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" tail tail")).as("text"))
+      val corpus = d.unionByName(copies).unionByName(nearDups)
+      val uniq = Dedup.exactDeduped(corpus, "doc_id", "text")
+      val pairs = Dedup.minhashLsh(uniq, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      val keep = uniq.join(pairs.select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      TextAnalysis.quality(keep)
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .filter(col("pred_lang") === "en" && col("quality_score") >= 0.4)
+        .select("doc_id", "pred_lang", "n_tokens", "quality_score")
+    }),
 
     // sessionization over the events stream table (gap > 30 min)
     "q_events_sessionize" -> ((s, dir) => {
@@ -389,6 +423,61 @@ object Queries {
        |sk AS (SELECT vec_id, p // $ppb AS band,
        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (${ppb - 1} - (p % $ppb))) ELSE 0 END) AS BIGINT) AS skv
        |  FROM proj GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Similarity.kmeansFit]] +
+    * [[graft.operators.Similarity.ivfKnnWith]]: `iters` UNROLLED Lloyd
+    * steps (assign by 1-probe argmax, per-dimension r6-rounded means,
+    * empty clusters keep the previous centroid), then the IVF search.
+    * The rounding is what makes an iterative float fit hash-stable across
+    * engines — see kmeansFit's scaladoc.
+    */
+  private def ivfKmeansOracle(kCent: Int, dims: Int, iters: Int,
+      nProbe: Int, topK: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT n.vec_id, n.v, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+         |    FROM n, cn$i c) x WHERE r = 1),
+         |m$i AS (
+         |  SELECT cid, d, floor(avg(v[d + 1]) * 1000000 + 0.5) / 1000000 AS m
+         |  FROM a$i, range($dims) t(d) GROUP BY 1, 2),
+         |c${i + 1} AS (
+         |  SELECT p.cid, list(coalesce(m.m, p.cv[t.d + 1]) ORDER BY t.d) AS cv
+         |  FROM cn$i p CROSS JOIN range($dims) t(d)
+         |  LEFT JOIN m$i m ON m.cid = p.cid AND m.d = t.d
+         |  GROUP BY p.cid),
+         |cn${i + 1} AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c${i + 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kCent)),
+       |cn0 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c0),
+       |$steps,
+       |ca AS (
+       |  SELECT vec_id AS neighbor_id, v AS nbv, nv AS nbn, cid FROM (
+       |    SELECT n.vec_id, n.v, n.nv, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+       |    FROM n, cn$iters c) x WHERE r = 1),
+       |qa AS (
+       |  SELECT vec_id AS query_id, v AS qv, nv AS qn, cid FROM (
+       |    SELECT n.vec_id, n.v, n.nv, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+       |    FROM n, cn$iters c WHERE n.vec_id < 3) x WHERE r <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT query_id, neighbor_id, qv, qn, nbv, nbn
+       |  FROM qa JOIN ca USING (cid) WHERE query_id <> neighbor_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  floor((list_dot_product(qv, nbv) / (qn * nbn)) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) s WHERE rank <= $topK""".stripMargin
   }
 
   private val toolDimJoin =
@@ -681,6 +770,69 @@ object Queries {
         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored) s WHERE rank <= 5""".stripMargin,
+
+    "q_knn_ivf_kmeans" -> ivfKmeansOracle(kCent = 8, dims = 64, iters = 2,
+      nProbe = 4, topK = 5),
+
+    // composition of the exact-dedup, minhash, lang-id and quality oracle
+    // recipes over the same planted corpus — stage by stage
+    "q_prep_pipeline" -> {
+      val hits = TextAnalysis.stopwords.map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(t, x -> list_contains($list, x))) AS h_$l"
+      }.mkString(",\n    ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+         |  UNION ALL SELECT doc_id + 100000, text || ' tail tail' FROM documents
+         |    WHERE doc_id < 100 AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 12),
+         |uniq AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM corpus) u WHERE rn = 1),
+         |dsh AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS sh
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM uniq)
+         |  WHERE len(t) >= 3),
+         |hsets AS (SELECT id, sh, [${sha60Sql("s")} FOR s IN sh] AS hs FROM dsh),
+         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsets),
+         |bands AS (SELECT id, b AS band,
+         |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
+         |  FROM sigs, range(4) t(b)),
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS inter,
+         |           len(da.sh) AS sza, len(db.sh) AS szb
+         |    FROM cand c JOIN dsh da ON da.id = c.a JOIN dsh db ON db.id = c.b) v
+         |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6),
+         |keep AS (
+         |  SELECT u.doc_id, u.text FROM uniq u
+         |  WHERE u.doc_id NOT IN (SELECT DISTINCT b FROM pairs)),
+         |toks AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM keep),
+         |sc AS (SELECT doc_id, text, t,
+         |    $hits
+         |  FROM toks),
+         |feats AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'unknown'
+         |         WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+         |         WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+         |         WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+         |         WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang,
+         |    CAST(len(t) AS INTEGER) AS n_tokens,
+         |    floor((CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |      least(1.0, len(t) / 64.0) * 0.5
+         |      + least(1.0, (floor((CASE WHEN len(t) > 0 THEN CAST(h_en AS DOUBLE) / len(t) ELSE 0.0 END) * 1000000 + 0.5) / 1000000) * 4) * 0.3
+         |      + (1.0 - least(1.0, (floor((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000) * 5)) * 0.2 END) * 1000000 + 0.5) / 1000000 AS quality_score
+         |  FROM sc)
+         |SELECT doc_id, pred_lang, n_tokens, quality_score
+         |FROM feats WHERE pred_lang = 'en' AND quality_score >= 0.4""".stripMargin
+    },
 
     "q_lang_id" -> (langCte +
       """SELECT doc_id, lang,

@@ -95,48 +95,86 @@ object Similarity {
   def dimsOf(df: DataFrame, embCol: String): Int =
     df.select(size(col(embCol))).first().getInt(0)
 
-  /** IVF-bucketed ANN: deterministic coarse quantizer (the first
-    * `nCentroids` corpus rows by id — reproducible, no RNG). The quantizer
-    * is collected once — it IS the fitted model — and inlined as literal
-    * vectors, so assigning every corpus row to its nearest centroid is a
-    * pure projection (argmax over a literal struct array): zero shuffle,
-    * where round 1 shuffled corpus × nCentroids rows through a window.
-    * Queries take their `nProbe` nearest via an in-row sort of the same
-    * tiny array. Candidates are the bucket joins, exactly reranked.
+  /** A fitted coarse quantizer: (cid, vector, norm) triples — driver-side
+    * model state, inlined as literals wherever rows need assigning.
+    */
+  type Centroids = Array[(Long, Array[Double], Double)]
+
+  private def withNorms(cents: Array[(Long, Array[Double])]): Centroids =
+    cents.map { case (cid, v) =>
+      (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    }
+
+  /** Deterministic seed quantizer: the first `nCentroids` corpus rows by
+    * id, labeled with their row ids (reproducible, no RNG).
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int): Centroids =
+    withNorms(corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long"), toDoubleVec(col(embCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
+
+  /** `df` + a `cid` column: each row's `probes` nearest centroids by
+    * cosine, as a PURE PROJECTION over literal centroid structs — zero
+    * shuffle. (csim, -cid) struct max = highest csim, ties to the smallest
+    * cid (the same order as a `csim DESC, cid` window).
+    */
+  def assignCentroids(df: DataFrame, idCol: String, embCol: String,
+      cents: Centroids, id: String, probes: Int): DataFrame = {
+    val base = df.select(col(idCol).as(id), toDoubleVec(col(embCol)).as(s"${id}_v"))
+      .withColumn(s"${id}_norm", l2norm(col(s"${id}_v")))
+    val simStructs = array(cents.map { case (cid, cv, cn) =>
+      struct(
+        (dot(col(s"${id}_v"), typedlit(cv.toSeq)) /
+          (col(s"${id}_norm") * lit(cn))).as("csim"),
+        lit(-cid).as("negCid"))
+    }: _*)
+    if (probes == 1)
+      base.withColumn("cid", -array_max(simStructs).getField("negCid"))
+    else
+      base.withColumn("cid",
+        explode(transform(slice(reverse(array_sort(simStructs)), 1, probes),
+          s => -s.getField("negCid"))))
+  }
+
+  /** Lloyd-refined coarse quantizer: seeds = first `k` rows by id
+    * relabeled 0..k−1, then `iters` distributed k-means steps — assign
+    * every row to its nearest centroid (pure projection, zero shuffle),
+    * recompute each centroid as the per-dimension mean (posexplode +
+    * one groupBy(cid, dim) — k·D result rows, model-sized). Means are
+    * rounded to 1e-6 before reuse so the fit is bit-reproducible across
+    * engines and shuffle orders (float-sum order wobble is ~1e-13 —
+    * far inside the rounding). Empty clusters keep their previous
+    * centroid. The whole fit is `iters` tiny jobs; the model never
+    * exceeds k·D doubles on the driver.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): Centroids = {
+    val seeds = seedCentroids(corpus, idCol, embCol, k)
+      .zipWithIndex.map { case ((_, v, n), i) => (i.toLong, v, n) }
+    (1 to iters).foldLeft(seeds: Centroids) { (cents, _) =>
+      val dims = cents.head._2.length
+      val means = assignCentroids(corpus, idCol, embCol, cents, "rid", probes = 1)
+        .select(col("cid"), posexplode(col("rid_v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(TextAnalysis.r6(avg(col("x"))).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      withNorms(cents.map { case (cid, prev, _) =>
+        (cid, Array.tabulate(dims)(d => means.getOrElse((cid, d), prev(d))))
+      })
+    }
+  }
+
+  /** IVF-bucketed ANN over an explicit quantizer: corpus rows take their
+    * single nearest centroid, queries their `nProbe` nearest (both pure
+    * projections — round 1 shuffled corpus × nCentroids rows through a
+    * window here); candidates are the bucket joins, exactly reranked.
     * The 10^12-row shape: corpus bucketed once (shuffle on cid), each
     * query touches nProbe/nCentroids of the corpus.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[(Long, Array[Double], Double)] =
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).cast("long"), toDoubleVec(col(embCol)))
-        .collect().map { r =>
-          val v = r.getSeq[Double](1).toArray
-          (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
-        }
-
-    def assigned(df: DataFrame, id: String, probes: Int): DataFrame = {
-      val base = df.select(col(idCol).as(id), toDoubleVec(col(embCol)).as(s"${id}_v"))
-        .withColumn(s"${id}_norm", l2norm(col(s"${id}_v")))
-      // (csim, -cid) structs: lexicographic max = highest csim, ties to the
-      // smallest cid — the same order as the round-1 window (csim DESC, cid)
-      val simStructs = array(cents.map { case (cid, cv, cn) =>
-        struct(
-          (dot(col(s"${id}_v"), typedlit(cv.toSeq)) /
-            (col(s"${id}_norm") * lit(cn))).as("csim"),
-          lit(-cid).as("negCid"))
-      }: _*)
-      if (probes == 1)
-        base.withColumn("cid", -array_max(simStructs).getField("negCid"))
-      else
-        base.withColumn("cid",
-          explode(transform(slice(reverse(array_sort(simStructs)), 1, probes),
-            s => -s.getField("negCid"))))
-    }
-
-    val cb = assigned(corpus, "neighbor_id", probes = 1)
-    val qb = assigned(queries, "query_id", probes = nProbe)
+  def ivfKnnWith(cents: Centroids, corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cb = assignCentroids(corpus, idCol, embCol, cents, "neighbor_id", probes = 1)
+    val qb = assignCentroids(queries, idCol, embCol, cents, "query_id", probes = nProbe)
     val scored = qb.join(cb, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -149,6 +187,25 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** [[ivfKnnWith]] over the deterministic seed quantizer (first
+    * `nCentroids` rows by id, labeled with their ids).
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfKnnWith(seedCentroids(corpus, idCol, embCol, nCentroids),
+      corpus, queries, idCol, embCol, k, nProbe)
+
+  /** [[ivfKnnWith]] over a Lloyd-refined quantizer ([[kmeansFit]]) — the
+    * production IVF shape: fitted buckets follow the data distribution,
+    * so bucket sizes are balanced and recall at equal nProbe is higher
+    * than the seed quantizer's.
+    */
+  def ivfKnnKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame =
+    ivfKnnWith(kmeansFit(corpus, idCol, embCol, nCentroids, iters),
+      corpus, queries, idCol, embCol, k, nProbe)
 
   /** LSH-bucketed ANN: `bands` independent sketches of `planesPerBand` bits
     * each; query and corpus rows sharing any (band, sketch) bucket become

@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res._2 == 7L && res._3 == 1.0)
   }
 
+  test("kmeans quantizer: deterministic fit, exact candidate scores, planted-dup recall") {
+    val fit1 = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val fit2 = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(fit1.map(c => (c._1, c._2.toSeq, c._3)).toSeq ==
+      fit2.map(c => (c._1, c._2.toSeq, c._3)).toSeq, "fit must be run-deterministic")
+    assert(fit1.map(_._1).toSeq == (0L until 8L))
+
+    val q = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfKnnKmeans(emb, q, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4, iters = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 200)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (qid, nid, cos, _) =>
+      brute.get((qid, nid)).foreach(b => assert(b == cos)) }
+    // planted duplicate vector lands in the same (refined) bucket: rank 1, cosine 1
+    val dup = emb.filter($"vec_id" === 7)
+      .withColumn("vec_id", $"vec_id" * 0 + 999999)
+    val withDup = emb.unionByName(dup)
+    val res = Similarity.ivfKnnKmeans(withDup, withDup.filter($"vec_id" === 999999),
+      "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3, iters = 2)
+      .filter($"rank" === 1).as[(Long, Long, Double, Int)].head()
+    assert(res._2 == 7L && res._3 == 1.0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(3)
     val res = Similarity.bruteForceKnn(
