@@ -325,6 +325,36 @@ object Queries {
     "q_binary_features" -> ((s, dir) =>
       Multimodal.binaryFeatures(Multimodal.mediaFromDocuments(documents(s, dir)))),
 
+    // deterministic hash-based train/val/test split: no RNG, stable under
+    // reshuffles and re-runs — the only split discipline that survives a
+    // 100 TB re-partition (sha60 of a salted id, cross-engine exact)
+    "q_sample_split" -> ((s, dir) => {
+      val h = graft.functions.Hashing.sha60(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+      documents(s, dir).select(col("doc_id"),
+        when(h < 980, "train").when(h < 990, "val").otherwise("test").as("split"))
+    }),
+
+    // benchmark decontamination: flag corpus docs sharing any 8-gram with
+    // the benchmark set (doc_id % 97 == 0 plays the benchmark; planted
+    // copies guarantee hits at every sf). Inverted-index semi-join — the
+    // benchmark side is small and broadcast, one pass over the corpus.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 300)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("prefix words "), col("text")).as("text"))
+      val corpus = d.unionByName(planted)
+      val bench = Dedup.shingleSets(
+          corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
+        .select(explode(col("sh")).as("s")).distinct()
+      val train = Dedup.shingleSets(
+          corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
+        .select(col("id").as("doc_id"), explode(col("sh")).as("s"))
+      train.join(broadcast(bench), Seq("s"), "left_semi")
+        .select("doc_id").distinct()
+    }),
+
     // FLAGSHIP training-data curation pipeline, end to end: exact dedup →
     // MinHash-LSH near-dup removal (drop the higher id of each verified
     // pair) → language gate → quality gate. Every stage is the scale-path
@@ -773,6 +803,28 @@ object Queries {
 
     "q_knn_ivf_kmeans" -> ivfKmeansOracle(kCent = 8, dims = 64, iters = 2,
       nProbe = 4, topK = 5),
+
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h < 980 THEN 'train' WHEN h < 990 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  (${sha60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 1000 AS h
+         |  FROM documents) t""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'prefix words ' || text FROM documents
+        |  WHERE doc_id % 97 = 0 AND doc_id < 300),
+        |sh8 AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus) x
+        |  WHERE len(t) >= 8),
+        |b AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT doc_id FROM sh8
+        |WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM b)""".stripMargin,
 
     // composition of the exact-dedup, minhash, lang-id and quality oracle
     // recipes over the same planted corpus — stage by stage
