@@ -73,6 +73,15 @@ object Bench {
 
     // ---- part 1: per-query timings at the configured parallelism
     val spark = session(cpus)
+    // warm-up pass at a small sf: same plans → same generated classes, so
+    // JIT + codegen caches are hot and the timed numbers are the
+    // steady-state a long-running cluster job sees (BENCH.md protocol),
+    // not first-query JVM warmup
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     // a failed query records the sentinel -1 (and lands in "failed") so
     // downstream consumers can't mistake breakage for a fast run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -345,13 +345,17 @@ object Queries {
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(lit("prefix words "), col("text")).as("text"))
       val corpus = d.unionByName(planted)
-      val bench = Dedup.shingleSets(
+      // hashed shingles end to end: tokens sha60-hashed once, 8-grams are
+      // integer folds, the semi-join key is 8 bytes — no n-gram string is
+      // ever materialized (collision odds ~n²/2^31; the oracle hashes
+      // identically, so decisions cannot diverge)
+      val bench = Dedup.shingleHashSets(
           corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
-        .select(explode(col("sh")).as("s")).distinct()
-      val train = Dedup.shingleSets(
+        .select(explode(col("hs")).as("h")).distinct()
+      val train = Dedup.shingleHashSets(
           corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
-        .select(col("id").as("doc_id"), explode(col("sh")).as("s"))
-      train.join(broadcast(bench), Seq("s"), "left_semi")
+        .select(col("id").as("doc_id"), explode(col("hs")).as("h"))
+      train.join(broadcast(bench), Seq("h"), "left_semi")
         .select("doc_id").distinct()
     }),
 
@@ -370,7 +374,11 @@ object Queries {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" tail tail")).as("text"))
       val corpus = d.unionByName(copies).unionByName(nearDups)
-      val uniq = Dedup.exactDeduped(corpus, "doc_id", "text")
+      // uniq feeds three branches (both sides of the LSH self-join via
+      // pairs, the anti-join, and the feature stage) — small (one row per
+      // distinct doc), so caching beats three recomputes of the dedup
+      // window
+      val uniq = Dedup.exactDeduped(corpus, "doc_id", "text").cache()
       val pairs = Dedup.minhashLsh(uniq, "doc_id", "text",
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
       val keep = uniq.join(pairs.select(col("b").as("doc_id")).distinct(),
@@ -509,6 +517,18 @@ object Queries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored) s WHERE rank <= $topK""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.operators.Dedup.shingleHashSets]] over a
+    * relation `src(doc_id, text)`: a parenthesized subquery yielding
+    * (id, hs) with the identical token-sha60 → n-gram integer-fold hashes.
+    */
+  private def hashedShinglesSql(src: String, n: Int): String =
+    s"""(SELECT doc_id AS id,
+       |   list_distinct([list_reduce([ht[i + j] FOR j IN range($n)],
+       |     (a, x) -> (a * 8191 + x) % ${Hashing.P}) FOR i IN range(1, len(ht) - ${n - 2})]) AS hs
+       | FROM (SELECT doc_id, [${sha60Sql("tk")} % ${Hashing.P} FOR tk IN t] AS ht
+       |       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM $src) ta) tb
+       | WHERE len(ht) >= $n)""".stripMargin
 
   private val toolDimJoin =
     s"JOIN ${Enrich.toolDimSql} USING (tool)"
@@ -702,17 +722,17 @@ object Queries {
         |WHERE CAST(inter AS DOUBLE) / (len(da.sh) + len(db.sh) - inter) >= 0.6""".stripMargin),
 
     "q_dedup_minhash" -> (nearDupCte +
-      s""", hsets AS (SELECT id, sh, [${sha60Sql("s")} FOR s IN sh] AS hs FROM dsh),
-         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsets),
+      s""", hsh AS (SELECT id, hs FROM ${hashedShinglesSql("docs2", 3)} hx),
+         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsh),
          |bands AS (SELECT id, b AS band,
          |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
          |  FROM sigs, range(4) t(b)),
          |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
          |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id)
          |SELECT a, b, floor((CAST(inter AS DOUBLE) / (sza + szb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard FROM (
-         |  SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS inter,
-         |         len(da.sh) AS sza, len(db.sh) AS szb
-         |  FROM cand c JOIN dsh da ON da.id = c.a JOIN dsh db ON db.id = c.b) v
+         |  SELECT c.a, c.b, len(list_intersect(da.hs, db.hs)) AS inter,
+         |         len(da.hs) AS sza, len(db.hs) AS szb
+         |  FROM cand c JOIN hsh da ON da.id = c.a JOIN hsh db ON db.id = c.b) v
          |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6""".stripMargin),
 
     // SimHash: identical 60-bit fingerprints re-derived from sha256 token
@@ -812,19 +832,15 @@ object Queries {
          |  FROM documents) t""".stripMargin,
 
     "q_decontaminate" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 300000, 'prefix words ' || text FROM documents
-        |  WHERE doc_id % 97 = 0 AND doc_id < 300),
-        |sh8 AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus) x
-        |  WHERE len(t) >= 8),
-        |b AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 97 = 0)
-        |SELECT DISTINCT doc_id FROM sh8
-        |WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM b)""".stripMargin,
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, 'prefix words ' || text FROM documents
+         |  WHERE doc_id % 97 = 0 AND doc_id < 300),
+         |sh8 AS (SELECT id AS doc_id, unnest(hs) AS h FROM ${hashedShinglesSql("corpus", 8)} hx),
+         |b AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT doc_id FROM sh8
+         |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM b)""".stripMargin,
 
     // composition of the exact-dedup, minhash, lang-id and quality oracle
     // recipes over the same planted corpus — stage by stage
@@ -843,13 +859,8 @@ object Queries {
          |    SELECT doc_id, text,
          |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |    FROM corpus) u WHERE rn = 1),
-         |dsh AS (
-         |  SELECT doc_id AS id,
-         |    list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS sh
-         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM uniq)
-         |  WHERE len(t) >= 3),
-         |hsets AS (SELECT id, sh, [${sha60Sql("s")} FOR s IN sh] AS hs FROM dsh),
-         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsets),
+         |hsh AS (SELECT id, hs FROM ${hashedShinglesSql("uniq", 3)} hx),
+         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsh),
          |bands AS (SELECT id, b AS band,
          |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
          |  FROM sigs, range(4) t(b)),
@@ -857,9 +868,9 @@ object Queries {
          |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id),
          |pairs AS (
          |  SELECT a, b FROM (
-         |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS inter,
-         |           len(da.sh) AS sza, len(db.sh) AS szb
-         |    FROM cand c JOIN dsh da ON da.id = c.a JOIN dsh db ON db.id = c.b) v
+         |    SELECT c.a, c.b, len(list_intersect(da.hs, db.hs)) AS inter,
+         |           len(da.hs) AS sza, len(db.hs) AS szb
+         |    FROM cand c JOIN hsh da ON da.id = c.a JOIN hsh db ON db.id = c.b) v
          |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6),
          |keep AS (
          |  SELECT u.doc_id, u.text FROM uniq u

@@ -42,11 +42,39 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct shingles per doc (n-gram sets for Jaccard). */
+  /** Distinct shingles per doc (n-gram sets for Jaccard) — STRING form,
+    * the exact ground-truth representation ([[ngramJaccard]]).
+    */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Distinct HASHED shingles per doc — the scale form: each token is
+    * sha60-hashed once (mod P), and every n-gram becomes an integer fold
+    * of its n token hashes; the n-gram string is never materialized
+    * (string building dominated the shingle cost at sf0.1). Collision
+    * odds are ~|shingles|²/2^31 per doc pair and the DuckDB oracle hashes
+    * identically, so decisions cannot diverge cross-engine.
+    */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // ht must evaluate exactly once per row, but CollapseProject inlines a
+    // staged alias at every reference (it doesn't count references inside
+    // the downstream lambdas — measured 7s → 46s at sf0.1), so route it
+    // through a one-element explode: projections never collapse across a
+    // Generate, making the barrier structural
+    val withHt = df.select(col(idCol).as("id"),
+      explode(array(transform(toks, t => Hashing.sha60(t) % Hashing.P))).as("ht"))
+    val ht = col("ht")
+    val hs = when(size(ht) >= n,
+      array_distinct(transform(sequence(lit(1), size(ht) - (n - 1)), i =>
+        (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
+          (acc * 8191L + element_at(ht, i + j)) % Hashing.P))))
+      .otherwise(array().cast("array<long>"))
+    withHt.select(col("id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+  }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
     * index: explode → self-join on shingle → per-pair intersection counts →
@@ -79,27 +107,25 @@ object Dedup {
       (acc * 8191L + sig.getItem(b * rowsPerBand + r)) % Hashing.P
     }
 
-  /** MinHash + banded LSH near-dup detection.
-    *
-    * One [[Hashing.sha60]] per distinct shingle; permutation i's value is
-    * the two-integer-op [[Hashing.mix]] of that base hash, so the signature
-    * costs k integer ops per shingle, not k hashes. Docs sharing any band
-    * value become candidates (equi-join on (band, bhash) — Catalyst shuffle
-    * hash join); candidates are verified with exact Jaccard. At 100 TB the
+  /** MinHash + banded LSH near-dup detection over HASHED shingles
+    * ([[shingleHashSets]]: one sha60 per token, n-gram strings never
+    * materialized); permutation i's value is the two-integer-op
+    * [[Hashing.mix]] of the shingle hash, so the signature costs k integer
+    * ops per shingle. Docs sharing any band value become candidates
+    * (equi-join on (band, bhash) — Catalyst shuffle hash join); candidates
+    * are verified with exact Jaccard over the hash sets. At 100 TB the
     * all-pairs comparison never materializes: band buckets bound the
     * candidate set, AQE handles bucket skew, and verification joins only
-    * candidate ids back to shingle sets.
+    * candidate ids back to the (integer) shingle sets.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.8,
-      baseHash: Column => Column = Hashing.sha60): DataFrame = {
+      threshold: Double = 0.8): DataFrame = {
     val k = bands * rowsPerBand
-    val sets = shingleSets(df, idCol, textCol, n)
-    val hashed = sets.withColumn("hs", transform(col("sh"), s => baseHash(s)))
+    val sets = shingleHashSets(df, idCol, textCol, n)
     val sig = array((0 until k).map(i =>
       array_min(transform(col("hs"), h => Hashing.mix(h, i)))): _*)
-    val bandRows = hashed.select(col("id"), posexplode(
+    val bandRows = sets.select(col("id"), posexplode(
       array((0 until bands).map(b => bandValue(sig, b, rowsPerBand)): _*))
       .as(Seq("band", "bhash")))
 
@@ -109,22 +135,17 @@ object Dedup {
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
 
-    // exact-Jaccard verification of candidates only
+    // exact-Jaccard verification of candidates only (on the hash sets)
     val withSets = candidates
-      .join(sets.select(col("id").as("a"), col("sh").as("sha_")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb_")), "b")
+      .join(sets.select(col("id").as("a"), col("hs").as("hsa_")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hsb_")), "b")
     withSets
-      .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))))
+      .withColumn("inter", size(array_intersect(col("hsa_"), col("hsb_"))))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sha_")) + size(col("shb_")) - col("inter")))
+        (size(col("hsa_")) + size(col("hsb_")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
-
-  /** Spark-only 64-bit base hash, for engine deployments that don't need
-    * the DuckDB-reproducible default (folded into [0, P)).
-    */
-  def xxBase(s: Column): Column = pmod(xxhash64(s), lit(Hashing.P))
 
   /** 60-bit SimHash fingerprint — native single-pass expression
     * ([[graft.functions.SimHash]], registered as `simhash64`).
@@ -170,17 +191,21 @@ object Dedup {
     val withNorm = df.select(col(idCol).as("id"),
         Similarity.toDoubleVec(col(embCol)).as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
-    val blocks = withNorm.select(col("id"), col("v"), col("norm"),
+    // bucket join and pair-dedup carry ONLY (id, band, sk) / (a, b) — the
+    // vectors rejoin after distinct, so the corpus×corpus candidate
+    // shuffle moves 3 longs per row, not 2×dims doubles
+    val blocks = withNorm.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         Similarity.bandSketch(col("v"), b, planesPerBand, mat)): _*))
         .as(Seq("band", "sk")))
-    blocks.as("l").join(blocks.as("r"),
+    val pairs = blocks.as("l").join(blocks.as("r"),
         col("l.band") === col("r.band") && col("l.sk") === col("r.sk") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.v").as("av"), col("l.norm").as("an"),
-        col("r.v").as("bv"), col("r.norm").as("bn"))
-      .dropDuplicates("a", "b")
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    pairs
+      .join(withNorm.select(col("id").as("a"), col("v").as("av"), col("norm").as("an")), "a")
+      .join(withNorm.select(col("id").as("b"), col("v").as("bv"), col("norm").as("bn")), "b")
       .withColumn("cosine",
         Similarity.dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= minCosine)

@@ -175,9 +175,17 @@ object Similarity {
       idCol: String, embCol: String, k: Int, nProbe: Int): DataFrame = {
     val cb = assignCentroids(corpus, idCol, embCol, cents, "neighbor_id", probes = 1)
     val qb = assignCentroids(queries, idCol, embCol, cents, "query_id", probes = nProbe)
-    val scored = qb.join(cb, Seq("cid"))
+    // the bucket join and pair-dedup move ids only; vectors rejoin for the
+    // exact rerank (narrow candidate shuffle — see embeddingNearDup)
+    val pairs = qb.select(col("query_id"), col("cid"))
+      .join(cb.select(col("neighbor_id"), col("cid")), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id").distinct()
+    val scored = pairs
+      .join(qb.select(col("query_id"), col("query_id_v"), col("query_id_norm"))
+        .dropDuplicates("query_id"), "query_id")
+      .join(cb.select(col("neighbor_id"), col("neighbor_id_v"), col("neighbor_id_norm"))
+        .dropDuplicates("neighbor_id"), "neighbor_id")
       .withColumn("cosine", TextAnalysis.r6(
         cosine(col("query_id_v"), col("neighbor_id_v"),
           col("query_id_norm"), col("neighbor_id_norm"))))
@@ -215,25 +223,29 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, bands: Int = 8, planesPerBand: Int = 12): DataFrame = {
     val mat = planeMatrix(bands * planesPerBand, dimsOf(corpus, embCol))
-    def withBuckets(df: DataFrame, id: String): DataFrame = {
+    def withNorm(df: DataFrame, id: String): DataFrame = {
       val v = toDoubleVec(col(embCol))
       df.select(col(idCol).as(id), v.as(s"${id}_v"))
         .withColumn(s"${id}_norm", l2norm(col(s"${id}_v")))
-        .select(col(id), col(s"${id}_v"), col(s"${id}_norm"),
-          posexplode(array((0 until bands).map { b =>
-            bandSketch(col(s"${id}_v"), b, planesPerBand, mat)
-          }: _*)).as(Seq("band", "sk")))
     }
-    val cb = withBuckets(corpus, "neighbor_id")
-    val qb = withBuckets(queries, "query_id")
-    val cand = cb.join(qb, Seq("band", "sk"))
+    def buckets(df: DataFrame, id: String): DataFrame = {
+      val v = toDoubleVec(col(embCol))
+      df.select(col(idCol).as(id),
+        posexplode(array((0 until bands).map { b =>
+          bandSketch(v, b, planesPerBand, mat)
+        }: _*)).as(Seq("band", "sk")))
+    }
+    // ids only through the bucket join + dedup; vectors rejoin for rerank
+    val cand = buckets(corpus, "neighbor_id").join(buckets(queries, "query_id"), Seq("band", "sk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "query_id_v", "query_id_norm",
-        "neighbor_id_v", "neighbor_id_norm")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("cosine", TextAnalysis.r6(
-      cosine(col("query_id_v"), col("neighbor_id_v"),
-        col("query_id_norm"), col("neighbor_id_norm"))))
+    val scored = cand
+      .join(withNorm(queries, "query_id"), "query_id")
+      .join(withNorm(corpus, "neighbor_id"), "neighbor_id")
+      .withColumn("cosine", TextAnalysis.r6(
+        cosine(col("query_id_v"), col("neighbor_id_v"),
+          col("query_id_norm"), col("neighbor_id_norm"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -37,18 +37,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((5L, 1005L)))
   }
 
-  test("minhash LSH verifies the same pairs as exact jaccard (sha60 and xx base hashes)") {
+  test("minhash LSH over hashed shingles verifies the same pairs as exact jaccard") {
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.6)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    // LSH candidates are verified with exact jaccard => lsh ⊆ exact;
-    // with 8 bands the planted pairs must be recalled
-    for (base <- Seq(graft.functions.Hashing.sha60 _, Dedup.xxBase _)) {
-      val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
-        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6, baseHash = base)
-        .select("a", "b").as[(Long, Long)].collect().toSet
-      assert(lsh.subsetOf(exact))
-      assert(lsh.contains((3L, 1003L)) && lsh.contains((5L, 1005L)))
-    }
+    // LSH candidates are verified with exact jaccard (over the hashed
+    // shingle sets) => lsh ⊆ exact barring 2^-31 collisions; with 8 bands
+    // the planted pairs must be recalled
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((3L, 1003L)) && lsh.contains((5L, 1005L)))
+  }
+
+  test("hashed shingle sets equal sha60-of-string shingles in size (no in-doc collisions here)") {
+    val strs = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .select($"id", size($"sh").as("n")).as[(Long, Int)].collect().toMap
+    val hashed = Dedup.shingleHashSets(docs, "doc_id", "text", 3)
+      .select($"id", size($"hs").as("n")).as[(Long, Int)].collect().toMap
+    assert(hashed == strs)
   }
 
   test("simhash: expression equals model; identical docs at distance 0; near-dups close") {
