@@ -61,7 +61,10 @@ object Pipeline {
   def fileBatchId(file: String, contentHash: String): String = {
     val md = MessageDigest.getInstance("SHA-256")
     md.update(s"$file:$contentHash".getBytes("UTF-8"))
-    md.digest().take(6).map("%02x".format(_)).mkString
+    // 96 bits: a birthday collision across ~10^6 files would silently
+    // merge two files' deliveries, so the id must stay collision-free at
+    // manifest scale (48 bits would already be ~0.1% there)
+    md.digest().take(12).map("%02x".format(_)).mkString
   }
 
   def run(
