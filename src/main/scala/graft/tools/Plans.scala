@@ -44,6 +44,14 @@ object Plans {
     graft.operators.Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.9)
       .explain("formatted")
 
+    println("==== minhash LSH (hashed shingles; equi band join, no cartesian) ====")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 4, 2, 0.6)
+      .explain("formatted")
+
+    println("==== decontaminate shape (broadcast semi-join on 8-byte shingle hashes) ====")
+    graft.Queries.queries("q_decontaminate")(spark, dir).explain("formatted")
+
     spark.stop()
   }
 }
