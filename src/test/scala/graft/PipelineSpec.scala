@@ -166,6 +166,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(delivered.filter(col("message").contains("\n")).count() > 0)
   }
 
+  test("config include/exclude filters the manifest before processing (S3 wiring)") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    table.append(Transcripts.synthesize(spark, 4, 5).toDF())
+
+    // exclude every data file → nothing to do, no sinks written
+    val rNone = Pipeline.run(spark, table,
+      new LineageStore(spark, s"$root/l1"),
+      cfg.copy(exclude = Seq("*.parquet")), s"$root/s1")
+    assert(rNone.processedFiles.isEmpty && rNone.inputRows == 0)
+
+    // a glob include admits the data files (and, being "specific",
+    // ignores broad-dir includes as filters)
+    val rAll = Pipeline.run(spark, table,
+      new LineageStore(spark, s"$root/l2"),
+      cfg.copy(include = Seq("*.parquet")), s"$root/s2")
+    assert(rAll.processedFiles.nonEmpty && rAll.inputRows == 20)
+  }
+
   test("snapshot isolation: read-at-snapshot pins the file list") {
     val root = tmp()
     val table = new SnapshotTable(spark, s"$root/table")
