@@ -62,6 +62,14 @@ object Hashing {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** Hyperplane component (plane p, dim i) in [-1, 1): sha60("p,i")
+    * mod 1000003, affinely mapped. The single source of LSH plane
+    * randomness — the Column form, the native [[PlaneSketchHelper]] and
+    * the DuckDB oracle all derive the identical matrix from it.
+    */
+  def planeComponent(p: Int, i: Int): Double =
+    (sha60Jvm(s"$p,$i") % 1000003L).toDouble / 500001.5 - 1.0
+
   // ------------------------------------------------------------ affine mixing family
 
   /** Multiplier of permutation i — non-zero mod P. */

@@ -186,8 +186,6 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
       minCosine: Double = 0.95, bands: Int = 12, planesPerBand: Int = 6): DataFrame = {
-    val dims = df.select(size(col(embCol))).first().getInt(0)
-    val mat = Similarity.planeMatrix(bands * planesPerBand, dims)
     val withNorm = df.select(col(idCol).as("id"),
         Similarity.toDoubleVec(col(embCol)).as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
@@ -195,9 +193,8 @@ object Dedup {
     // vectors rejoin after distinct, so the corpus×corpus candidate
     // shuffle moves 3 longs per row, not 2×dims doubles
     val blocks = withNorm.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        Similarity.bandSketch(col("v"), b, planesPerBand, mat)): _*))
-        .as(Seq("band", "sk")))
+      posexplode(Similarity.allBandSketches(df.sparkSession, col("v"),
+        bands, planesPerBand)).as(Seq("band", "sk")))
     val pairs = blocks.as("l").join(blocks.as("r"),
         col("l.band") === col("r.band") && col("l.sk") === col("r.sk") &&
           col("l.id") < col("r.id"))

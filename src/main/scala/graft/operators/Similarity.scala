@@ -70,9 +70,7 @@ object Similarity {
     * derives the identical matrix from the same recipe in SQL.
     */
   def planeMatrix(nPlanes: Int, dims: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes, dims) { (p, i) =>
-      (Hashing.sha60Jvm(s"$p,$i") % 1000003L).toDouble / 500001.5 - 1.0
-    }
+    Array.tabulate(nPlanes, dims)(Hashing.planeComponent)
 
   /** Projection of `v` onto a literal plane (left-fold dot — fold order is
     * part of the cross-engine contract).
@@ -82,7 +80,9 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
   /** Sign-bit sketch of band `b`: `planesPerBand` bits packed into a long,
-    * plane j weighted 2^(planesPerBand−1−j).
+    * plane j weighted 2^(planesPerBand−1−j). Reference (pure-Column)
+    * formulation — the hot paths use [[allBandSketches]], whose native
+    * loops are pinned bit-identical to this in SimilaritySpec.
     */
   def bandSketch(v: Column, b: Int, planesPerBand: Int,
       mat: Array[Array[Double]]): Column =
@@ -90,6 +90,14 @@ object Similarity {
       when(projection(v, mat(b * planesPerBand + j)) >= 0,
         lit(1L << (planesPerBand - 1 - j))).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All band sketches at once via the native codegen'd expression
+    * ([[graft.functions.PlaneSketch]]): one static call per row instead
+    * of an interpreted lambda per (plane × dimension).
+    */
+  def allBandSketches(spark: org.apache.spark.sql.SparkSession, v: Column,
+      bands: Int, planesPerBand: Int): Column =
+    call_function(graft.functions.PlaneSketch.register(spark, bands, planesPerBand), v)
 
   /** Embedding width, fetched once at plan time (one tiny job). */
   def dimsOf(df: DataFrame, embCol: String): Int =
@@ -222,19 +230,15 @@ object Similarity {
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, bands: Int = 8, planesPerBand: Int = 12): DataFrame = {
-    val mat = planeMatrix(bands * planesPerBand, dimsOf(corpus, embCol))
     def withNorm(df: DataFrame, id: String): DataFrame = {
       val v = toDoubleVec(col(embCol))
       df.select(col(idCol).as(id), v.as(s"${id}_v"))
         .withColumn(s"${id}_norm", l2norm(col(s"${id}_v")))
     }
-    def buckets(df: DataFrame, id: String): DataFrame = {
-      val v = toDoubleVec(col(embCol))
+    def buckets(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
-        posexplode(array((0 until bands).map { b =>
-          bandSketch(v, b, planesPerBand, mat)
-        }: _*)).as(Seq("band", "sk")))
-    }
+        posexplode(allBandSketches(df.sparkSession,
+          toDoubleVec(col(embCol)), bands, planesPerBand)).as(Seq("band", "sk")))
     // ids only through the bucket join + dedup; vectors rejoin for rerank
     val cand = buckets(corpus, "neighbor_id").join(buckets(queries, "query_id"), Seq("band", "sk"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -70,6 +70,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res._2 == 7L && res._3 == 1.0)
   }
 
+  test("native plane sketches are bit-identical to the Column formulation") {
+    val dims = Similarity.dimsOf(emb, "embedding")
+    val mat = Similarity.planeMatrix(24 * 4, dims)
+    val v = Similarity.toDoubleVec($"embedding")
+    val colForm = emb.select($"vec_id",
+        array((0 until 24).map(b => Similarity.bandSketch(v, b, 4, mat)): _*).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = emb.select($"vec_id",
+        Similarity.allBandSketches(spark, v, 24, 4).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == colForm)
+  }
+
   test("kmeans quantizer: deterministic fit, exact candidate scores, planted-dup recall") {
     val fit1 = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
     val fit2 = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
