@@ -163,6 +163,52 @@ object Queries {
       Segments.assembleFsm(tx(s, dir),
         graft.model.MultilineSpec(MultilineMode.HaltBefore, "^(CALL|INFO|ask)"))),
 
+    // A1 continuePast — the closing (non-matching) line is ABSORBED into
+    // the record, and the empty-buffer branch never closes
+    // (multline_reader.go:147-169,177-187), so boundaries depend on
+    // run-length parity and only the FSM computes them. The fixture makes
+    // cond-matches arithmetically periodic (match ⟺ turn_idx%5 ∈ {0,1}:
+    // runs of 3 non-matching lines), so the parity segmentation has the
+    // closed form seg = 2·(t div 5) + [t mod 5 ≥ 3], derivable in DuckDB
+    // without re-running any FSM: [5k,5k+1,5k+2] then [5k+3,5k+4].
+    "q_multiline_continuepast" -> ((s, dir) => {
+      val t = col("turn_idx")
+      val line = when(t % 5 < 2, concat(lit("CONT "), t.cast("string")))
+        .otherwise(concat(lit("data "), t.cast("string")))
+      Segments.assembleFsm(
+        tx(s, dir).select(col("conv_id"), col("turn_idx"), line.as("text")),
+        graft.model.MultilineSpec(MultilineMode.ContinuePast, "^CONT"))
+    }),
+
+    // A1 haltWith — the matching line is absorbed and emits; a run of
+    // matching lines on an empty buffer pairs up (multline_reader.go:247-256).
+    // match ⟺ turn_idx%5 ∈ {2,3,4} gives the same closed form as above:
+    // [5k,5k+1,5k+2] (closed by the first match) then [5k+3,5k+4].
+    "q_multiline_haltwith" -> ((s, dir) => {
+      val t = col("turn_idx")
+      val line = when(t % 5 >= 2, concat(lit("HALT "), t.cast("string")))
+        .otherwise(concat(lit("data "), t.cast("string")))
+      Segments.assembleFsm(
+        tx(s, dir).select(col("conv_id"), col("turn_idx"), line.as("text")),
+        graft.model.MultilineSpec(MultilineMode.HaltWith, "^HALT"))
+    }),
+
+    // A1 StartPattern standalone emission (multline_reader.go:146-163,
+    // 196-213): continueThrough where only START lines begin accumulation
+    // and non-start non-cond lines emit standalone. Period-6 fixture:
+    // t%6=0 → START, t%6∈{1,2} → indented continuation, t%6∈{3,4,5} →
+    // stray standalone; seg = 4·(t div 6) + max(0, t mod 6 − 2).
+    "q_multiline_startpattern" -> ((s, dir) => {
+      val t = col("turn_idx")
+      val line = when(t % 6 === 0, concat(lit("START "), t.cast("string")))
+        .when(t % 6 <= 2, concat(lit("  cont "), t.cast("string")))
+        .otherwise(concat(lit("stray "), t.cast("string")))
+      Segments.assembleFsm(
+        tx(s, dir).select(col("conv_id"), col("turn_idx"), line.as("text")),
+        graft.model.MultilineSpec(MultilineMode.ContinueThrough, "^\\s",
+          startPattern = Some("^START")))
+    }),
+
     // J2: broadcast enrich against the tool/role dimension
     "q_enrich" -> ((s, dir) =>
       Enrich.enrich(tx(s, dir).filter(col("tool") =!= ""))
@@ -648,6 +694,26 @@ object Queries {
 
     "q_multiline_fsm" -> (cte + multilineOracle("regexp_matches(text, '^(CALL|INFO|ask)')")),
 
+    // analytic: the periodic fixture's parity segmentation in closed form —
+    // seg = 2·(t div 5) + [t mod 5 ≥ 3]; no FSM re-run anywhere
+    "q_multiline_continuepast" -> (cte + periodicSegOracle(
+      "CASE WHEN turn_idx % 5 < 2 THEN 'CONT ' || CAST(turn_idx AS VARCHAR) " +
+        "ELSE 'data ' || CAST(turn_idx AS VARCHAR) END",
+      "2 * (turn_idx // 5) + (CASE WHEN turn_idx % 5 >= 3 THEN 1 ELSE 0 END)")),
+
+    "q_multiline_haltwith" -> (cte + periodicSegOracle(
+      "CASE WHEN turn_idx % 5 >= 2 THEN 'HALT ' || CAST(turn_idx AS VARCHAR) " +
+        "ELSE 'data ' || CAST(turn_idx AS VARCHAR) END",
+      "2 * (turn_idx // 5) + (CASE WHEN turn_idx % 5 >= 3 THEN 1 ELSE 0 END)")),
+
+    // analytic: seg = 4·(t div 6) + max(0, t mod 6 − 2) — records
+    // [6k..6k+2] then three standalones
+    "q_multiline_startpattern" -> (cte + periodicSegOracle(
+      "CASE WHEN turn_idx % 6 = 0 THEN 'START ' || CAST(turn_idx AS VARCHAR) " +
+        "WHEN turn_idx % 6 <= 2 THEN '  cont ' || CAST(turn_idx AS VARCHAR) " +
+        "ELSE 'stray ' || CAST(turn_idx AS VARCHAR) END",
+      "4 * (turn_idx // 6) + greatest(0, turn_idx % 6 - 2)")),
+
     "q_enrich" -> (cte +
       s"""SELECT conv_id, turn_idx, tool, tool_family, tool_label, 'graft' AS host
          |FROM transcripts $toolDimJoin WHERE tool <> ''""".stripMargin),
@@ -954,6 +1020,21 @@ object Queries {
         |      THEN 1 ELSE 0 END AS is_new
         |    FROM events) a) b GROUP BY 1, 2""".stripMargin
   )
+
+  /** Oracle body for the periodic-fixture FSM queries: `lineExpr` rebuilds
+    * the synthetic line from turn_idx, `segExpr` is the closed-form record
+    * index — both pure turn arithmetic, so the expected segments (including
+    * the end-of-conversation residual flush, which is just the last,
+    * possibly partial, group) derive with no FSM anywhere in the oracle.
+    */
+  private def periodicSegOracle(lineExpr: String, segExpr: String): String =
+    s"""SELECT conv_id, CAST(seg AS INTEGER) AS record_idx,
+       |  string_agg(line, chr(10) ORDER BY turn_idx) AS record,
+       |  CAST(count(*) AS INTEGER) AS n_lines
+       |FROM (
+       |  SELECT conv_id, turn_idx, $lineExpr AS line, $segExpr AS seg
+       |  FROM transcripts) p
+       |GROUP BY 1, 2""".stripMargin
 
   /** Shared window-formulation oracle body; `boundaryExpr` decides whether
     * the current row starts a record (in addition to first-in-conversation).
