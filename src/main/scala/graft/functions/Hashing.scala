@@ -53,13 +53,19 @@ object Hashing {
   private val mdTL: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
 
-  /** JVM twin of [[sha60]] (driver-side precomputation, native exprs). */
+  /** JVM twin of [[sha60]] (driver-side precomputation, native exprs).
+    * The first 15 hex chars of the digest are exactly the top 60 bits of
+    * its first 8 bytes, so the value assembles with shifts — no hex string
+    * (this sits on the per-token hot path of [[ShingleHashesHelper]]; the
+    * format-and-parse version measured 2.4× slower end-to-end).
+    */
   def sha60Jvm(s: String): Long = {
     val md = mdTL.get()
     md.reset()
-    val hex = md.digest(s.getBytes(StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
   }
 
   /** Hyperplane component (plane p, dim i) in [-1, 1): sha60("p,i")

@@ -56,23 +56,15 @@ object Dedup {
     * (string building dominated the shingle cost at sf0.1). Collision
     * odds are ~|shingles|²/2^31 per doc pair and the DuckDB oracle hashes
     * identically, so decisions cannot diverge cross-engine.
+    *
+    * One native expression ([[graft.functions.ShingleHashes]]) computes
+    * tokens → hashes → folds → distinct per row, so the evaluate-once
+    * guarantee is structural — no CollapseProject-era Generate barrier.
     */
   def shingleHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // ht must evaluate exactly once per row, but CollapseProject inlines a
-    // staged alias at every reference (it doesn't count references inside
-    // the downstream lambdas — measured 7s → 46s at sf0.1), so route it
-    // through a one-element explode: projections never collapse across a
-    // Generate, making the barrier structural
-    val withHt = df.select(col(idCol).as("id"),
-      explode(array(transform(toks, t => Hashing.sha60(t) % Hashing.P))).as("ht"))
-    val ht = col("ht")
-    val hs = when(size(ht) >= n,
-      array_distinct(transform(sequence(lit(1), size(ht) - (n - 1)), i =>
-        (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
-          (acc * 8191L + element_at(ht, i + j)) % Hashing.P))))
-      .otherwise(array().cast("array<long>"))
-    withHt.select(col("id"), hs.as("hs"))
+    graft.functions.ShingleHashes.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function("shingle_hashes", col(textCol), lit(n)).as("hs"))
       .filter(size(col("hs")) > 0)
   }
 
