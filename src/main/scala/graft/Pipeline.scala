@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.checkpoint.{Fingerprint, LineageEntry, LineageStore}
+import graft.checkpoint.{Fingerprint, LineageStore}
 import graft.functions.KvParse
 import graft.model.PipelineConfig
 import graft.operators.{Enrich, Parse, Route}
@@ -83,45 +83,65 @@ object Pipeline {
     // S3: include/exclude path filtering over the manifest — the batch
     // analogue of the watcher's walk filter (watcher.go:173-179). The
     // manifest is driver-side metadata, so the compiled matcher runs here;
-    // PathFilter.column is the distributed twin for path columns.
-    val pathSpec = operators.PathFilter.compile(cfg.include, cfg.exclude)
+    // PathFilter.column is the distributed twin for path columns. isDir
+    // goes through the Hadoop FileSystem so a scheme-qualified directory
+    // include (hdfs://, s3a://) classifies correctly, not just local paths.
+    val hadoopIsDir: String => Boolean = p => try {
+      val hp = new Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).isDirectory
+    } catch { case _: Exception => false }
+    val pathSpec = operators.PathFilter.compile(cfg.include, cfg.exclude, hadoopIsDir)
     val files = table.filesAt(snapId)
       .filter(f => operators.PathFilter.matches(pathSpec, f))
 
     // J4: prune lineage of vanished files
     val pruned = lineage.pruneTo(files.toSet).map(_.file).distinct
 
-    // S9: validate fingerprints of committed files; collect invalidated.
-    // Resolution is last-writer-wins per (file, sink) — a reprocessed file's
-    // fresh entries supersede its stale ones.
-    val committed = lineage.readAll()
-      .groupBy(e => (e.file, e.sink))
-      .map { case (_, es) => es.maxBy(_.committedAtMs) }
-      .toSeq
-    val sinkNames = cfg.sinks.map(_.name).toSet
-    val hashByFile = committed.groupBy(_.file)
-      .map { case (f, es) => f -> es.maxBy(_.committedAtMs).contentHash }
-    val currentHash = files.filter(hashByFile.contains)
-      .map(f => f -> Fingerprint.ofFile(spark, f)).toMap
-    val invalidated = currentHash.collect {
-      case (f, h) if h != hashByFile(f) => f
-    }.toSeq.sorted
+    // S9 + S4, DISTRIBUTED: fingerprint every manifest file in one
+    // executor-side job (the reference fingerprints per-file inside
+    // parallel discovery callbacks, collector.go:165-199 — a serial
+    // driver loop over ~800k files would dominate the run), and derive
+    // committed/invalidated/todo with DataFrame joins against the lineage
+    // table. Last-writer-wins per (file, sink); nothing per-file reaches
+    // the driver except the final todo list + hashes (the same driver
+    // metadata any Spark file scan holds) and the (small) invalidated set.
+    import spark.implicits._
+    val filesDf = files.toDF("file")
+    val fpDf = Fingerprint.ofFilesDf(spark, files)
+    val entries = lineage.entriesDf()
+    val latestPerFile = entries
+      .groupBy(col("file"))
+      .agg(max(struct(col("committedAtMs"), col("contentHash"))).as("m"))
+      .select(col("file"), col("m.contentHash").as("prevHash"))
+    val invalidatedRows = fpDf.join(latestPerFile, "file")
+      .filter(col("contentHash") =!= col("prevHash"))
+      .select("file", "prevHash").collect()
+    val invalidated = invalidatedRows.map(_.getString(0)).toSeq.sorted
+    val oldHashByFile = invalidatedRows.map(r => r.getString(0) -> r.getString(1)).toMap
 
     // a file is done only if every configured sink has a lineage row for it
     // (and its fingerprint still matches)
-    val doneFiles = committed.groupBy(_.file).collect {
-      case (f, es) if sinkNames.subsetOf(es.map(_.sink).toSet) &&
-        !invalidated.contains(f) => f
-    }.toSet
+    val doneDf = entries
+      .filter(col("sink").isin(cfg.sinks.map(_.name): _*))
+      .groupBy(col("file"))
+      .agg(countDistinct(col("sink")).as("ns"))
+      .filter(col("ns") === cfg.sinks.size)
+      .join(broadcast(invalidated.toDF("file")), Seq("file"), "left_anti")
+      .select("file")
+    val todoFps = filesDf.join(doneDf, Seq("file"), "left_anti")
+      .join(fpDf, "file")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .sortBy(_._1)
 
-    val todo = files.filterNot(doneFiles.contains).sorted
+    val todo = todoFps.map(_._1).toSeq
     if (todo.isEmpty)
       return RunReport(runId, snapId, Nil, invalidated, pruned, Map.empty, 0L, 0L)
 
-    // fingerprint the inputs once: used both for the idempotency key (a
+    // the distributed fingerprints serve both as the idempotency key (a
     // reprocessed file with NEW content must land in a NEW batch dir) and
-    // for the lineage rows
-    val fps = todo.map(f => f -> currentHash.getOrElse(f, Fingerprint.ofFile(spark, f))).toMap
+    // as the lineage rows' content hash
+    val fps = todoFps.toMap
     val bids = todo.map(f => f -> fileBatchId(f, fps(f))).toMap
     // A5 collector metrics (lines_total / bytes_total / blank) ride on the
     // counting job via Observation — no extra scan of the input
@@ -159,10 +179,18 @@ object Pipeline {
       val fsRoot = new Path(outDir)
       val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+      // leftover staging dirs from a crashed earlier run are never commit
+      // targets (each run stages under a fresh runId) — clear them so they
+      // cannot accumulate orphan data under the sink root
+      if (fs.exists(fsRoot))
+        fs.listStatus(fsRoot).map(_.getPath)
+          .filter(_.getName.startsWith("_staging-"))
+          .foreach(p => fs.delete(p, true))
+
       // an invalidated file's OLD content dirs are superseded — remove them
       // so sink totals always reflect the latest content exactly once
       for {
-        f <- invalidated; oldHash <- hashByFile.get(f); rule <- cfg.sinks
+        f <- invalidated; oldHash <- oldHashByFile.get(f); rule <- cfg.sinks
       } fs.delete(new Path(fsRoot,
         s"${rule.name}/batch=${fileBatchId(f, oldHash)}"), true)
 

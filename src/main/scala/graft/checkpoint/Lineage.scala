@@ -35,7 +35,8 @@ final case class LineageEntry(
   * directory rename, and a crash between steps only ever leaves
   * superseded duplicates, never a hole.
   */
-final class LineageStore(spark: SparkSession, root: String) {
+final class LineageStore(spark: SparkSession, root: String,
+    maxCommitDirs: Int = 16) {
   private val conf = spark.sparkContext.hadoopConfiguration
   private val rootPath = new Path(root)
   private def fs: FileSystem = rootPath.getFileSystem(conf)
@@ -73,6 +74,11 @@ final class LineageStore(spark: SparkSession, root: String) {
     * `df` must have the LineageEntry schema.
     */
   def commitDf(df: org.apache.spark.sql.DataFrame, commitId: String): Unit = {
+    writeCommit(df, commitId)
+    compactIfNeeded()
+  }
+
+  private def writeCommit(df: org.apache.spark.sql.DataFrame, commitId: String): Unit = {
     fs.mkdirs(rootPath)
     val tmp = new Path(rootPath, s"_tmp-$commitId")
     // fixed column order so every commit dir carries the identical schema
@@ -82,6 +88,24 @@ final class LineageStore(spark: SparkSession, root: String) {
       .write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(tmp, new Path(rootPath, s"commit-$commitId")),
       "lineage commit rename failed")
+  }
+
+  /** Size-triggered compaction: a long-lived store otherwise accrues one
+    * `commit-*` dir per run, so the reader-side union grows O(runs) —
+    * unlike the reference's SQLite upsert, which never grows
+    * (internal/store/sqlite_store.go:104-119). When the dir count exceeds
+    * `maxCommitDirs`, merge every current dir into ONE fresh commit and
+    * delete the sources. Row-preserving (duplicates resolve
+    * last-writer-wins at read, as always), and crash-safe in the same
+    * order as [[pruneTo]]: the merged dir lands first, so a crash in
+    * between only leaves duplicate entries, never a hole.
+    */
+  private def compactIfNeeded(): Unit = {
+    val dirs = commitDirs
+    if (dirs.size <= maxCommitDirs) return
+    val merged = spark.read.parquet(dirs.map(_.toString): _*)
+    writeCommit(merged, s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    dirs.foreach(p => fs.delete(p, true))
   }
 
   /** Remove entries for files no longer present (J4 removal set-difference,
@@ -104,7 +128,10 @@ final class LineageStore(spark: SparkSession, root: String) {
       .as[LineageEntry].collect().toSeq
     if (drop.nonEmpty) {
       val keep = all.join(broadcast(liveDf), Seq("file"), "left_semi")
-      commitDf(keep, s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
+      // writeCommit, NOT commitDf: an auto-compaction here would merge the
+      // about-to-be-deleted source dirs into the fresh commit and the
+      // pruned entries would survive their own prune
+      writeCommit(keep, s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
       old.foreach(p => fs.delete(p, true))
     }
     drop
@@ -154,9 +181,13 @@ object FingerprintStrategy {
 object Fingerprint {
   val DefaultPrefixBytes: Int = 64 * 1024
 
-  def ofFile(spark: SparkSession, file: String, prefixBytes: Int = DefaultPrefixBytes): String = {
+  /** Hash one file's 64KB prefix + length with an explicit Hadoop conf —
+    * runs on executors ([[ofFilesDf]]) as well as the driver ([[ofFile]]).
+    */
+  def hashOne(conf: org.apache.hadoop.conf.Configuration, file: String,
+      prefixBytes: Int = DefaultPrefixBytes): String = {
     val p = new Path(file)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p)
     val n = math.min(prefixBytes.toLong, status.getLen).toInt
     val buf = new Array[Byte](n)
@@ -166,5 +197,32 @@ object Fingerprint {
     md.update(buf)
     md.update(status.getLen.toString.getBytes(StandardCharsets.UTF_8))
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  def ofFile(spark: SparkSession, file: String, prefixBytes: Int = DefaultPrefixBytes): String =
+    hashOne(spark.sparkContext.hadoopConfiguration, file, prefixBytes)
+
+  /** DISTRIBUTED fingerprinting: one (file, contentHash) row per input
+    * path, hashed on executors — the resume validation must not serialize
+    * ~800k 64KB reads through the driver (the reference fingerprints
+    * per-file inside parallel discovery callbacks,
+    * internal/collector/collector.go:165-199; this is the cluster
+    * analogue). Hadoop conf ships via SerializableWritable so s3a/hdfs
+    * credentials configured on the session reach the tasks.
+    */
+  def ofFilesDf(spark: SparkSession, files: Seq[String],
+      prefixBytes: Int = DefaultPrefixBytes): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    if (files.isEmpty) return spark.emptyDataset[(String, String)].toDF("file", "contentHash")
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(files, parts)
+      .mapPartitions { it =>
+        val conf = confSer.value
+        it.map(f => (f, hashOne(conf, f, prefixBytes)))
+      }
+      .toDF("file", "contentHash")
   }
 }

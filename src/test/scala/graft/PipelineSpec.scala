@@ -198,6 +198,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.filesAt(s1).toSet.subsetOf(table.filesAt(s2).toSet))
   }
 
+  test("lineage commit-dir count stays bounded across runs (size-triggered compaction)") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage", maxCommitDirs = 3)
+    val out = s"$root/sinks"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitDirCount: Int = fs.listStatus(new Path(s"$root/lineage"))
+      .count(_.getPath.getName.startsWith("commit-"))
+    (1 to 6).foreach { i =>
+      table.append(Transcripts.synthesize(spark, 2, 4).toDF()
+        .withColumn("conv_id", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(s"b$i-"), $"conv_id")))
+      val r = Pipeline.run(spark, table, lineage, cfg, out)
+      assert(r.processedFiles.nonEmpty && r.inputRows == 8)
+      // one commit per run, compacted whenever the count exceeds the cap
+      assert(commitDirCount <= 4, s"run $i left $commitDirCount commit dirs")
+    }
+    // resume semantics survive compaction: nothing re-processes, totals intact
+    val replay = Pipeline.run(spark, table, lineage, cfg, out)
+    assert(replay.processedFiles.isEmpty && replay.invalidatedFiles.isEmpty)
+    assert(lineage.readAll().filter(_.sink == "all").map(_.rowsDelivered).sum
+      == sinkRows(out, "all"))
+  }
+
   test("removed files are pruned from lineage (offset delete analogue)") {
     val root = tmp()
     val table = new SnapshotTable(spark, s"$root/table")
