@@ -51,7 +51,13 @@ object Pipeline {
       prunedFiles: Seq[String],
       perSinkDelivered: Map[String, Long],
       inputRows: Long,
-      blankRows: Long)
+      blankRows: Long,
+      /** Rows attempted but rejected by the remote, per sink — the
+        * NumFailed accounting (opensearch.go:123-138): a lossy sink can
+        * never silently undercount, because attempted = delivered + failed
+        * is checkable per (file, sink) in the lineage rows.
+        */
+      perSinkFailed: Map[String, Long] = Map.empty)
 
   /** Content-addressed batch id of ONE input file: a pure function of
     * (path, content hash), so replay of the same content always targets
@@ -219,7 +225,10 @@ object Pipeline {
         val newBids = todo.map(bids).filterNot(existing).toSet
         if (newBids.nonEmpty) {
           val staging = new Path(fsRoot, s"_staging-${rule.name}-$runId")
+          // remote-rejected rows are attempted (counted as failed below)
+          // but never land in the sink — NumFailed semantics
           val base = Route.forSink(routedB, rule)
+            .filter(!Route.rejectPredicate(rule, col("text")))
           val subset =
             if (newBids.size == todo.size) base
             else base.filter(col("batch").isin(newBids.toSeq: _*))
@@ -248,9 +257,19 @@ object Pipeline {
       // the driver (at ~800k files × S sinks that is a dataset, not
       // driver metadata)
       val now = System.currentTimeMillis()
+      // attempted rows per (sink, fname), split into delivered vs remote-
+      // rejected (the failed flag resolves per exploded sink name)
+      val failFlag = cfg.sinks.foldLeft(lit(false)) { (acc, r) =>
+        when(col("sink") === r.name,
+          Route.rejectPredicate(r, col("text"))).otherwise(acc)
+      }
       val countsDf = routedB
-        .select(col("fname"), explode(Route.acceptingSinks(cfg.sinks, col("text"))).as("sink"))
-        .groupBy("sink", "fname").agg(count(lit(1)).as("n"))
+        .select(col("fname"), col("text"),
+          explode(Route.acceptingSinks(cfg.sinks, col("text"))).as("sink"))
+        .withColumn("failed", failFlag)
+        .groupBy("sink", "fname")
+        .agg(sum(when(col("failed"), 0L).otherwise(1L)).as("n"),
+          sum(when(col("failed"), 1L).otherwise(0L)).as("nf"))
       val fileDf = todo.map(f => (new Path(f).getName, f, fps(f)))
         .toDF("fname", "file", "contentHash")
       val sinkDf = cfg.sinks.map(_.name).toDF("sink")
@@ -261,21 +280,23 @@ object Pipeline {
         .select(lit(runId).as("runId"), lit(snapId).as("snapshotId"),
           col("file"), col("sink"),
           coalesce(col("n"), lit(0L)).as("rowsDelivered"),
+          coalesce(col("nf"), lit(0L)).as("rowsFailed"),
           col("contentHash"), lit(now).as("committedAtMs"))
       lineage.commitDf(entriesDf, runId)
 
       // report totals come from the just-committed (small) lineage slice
-      val perSinkDelivered = lineage.entriesDf()
+      val perSink = lineage.entriesDf()
         .filter(col("runId") === runId)
-        .groupBy("sink").agg(sum("rowsDelivered").as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .groupBy("sink").agg(sum("rowsDelivered").as("n"), sum("rowsFailed").as("nf"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
       // the lineage write materialized src, so the observation is set
       val metrics = obs.get
       RunReport(runId, snapId, todo, invalidated, pruned,
-        cfg.sinks.map(r => r.name -> perSinkDelivered.getOrElse(r.name, 0L)).toMap,
+        cfg.sinks.map(r => r.name -> perSink.get(r.name).map(_._1).getOrElse(0L)).toMap,
         metrics("lines_total").asInstanceOf[Long],
-        metrics("blank_total").asInstanceOf[Long])
+        metrics("blank_total").asInstanceOf[Long],
+        cfg.sinks.map(r => r.name -> perSink.get(r.name).map(_._2).getOrElse(0L)).toMap)
     }
   }
 }

@@ -21,6 +21,12 @@ final case class LineageEntry(
     file: String,
     sink: String,
     rowsDelivered: Long,
+    /** Rows the sink attempted but the remote rejected — the NumFailed
+      * bookkeeping of cmd/freader/sink/opensearch/opensearch.go:123-138:
+      * failures are counted per batch, never silently folded into
+      * delivered, and never retried (fire-and-forget bulk semantics).
+      */
+    rowsFailed: Long,
     contentHash: String,
     committedAtMs: Long)
 
@@ -83,7 +89,7 @@ final class LineageStore(spark: SparkSession, root: String,
     val tmp = new Path(rootPath, s"_tmp-$commitId")
     // fixed column order so every commit dir carries the identical schema
     val cols = Seq("runId", "snapshotId", "file", "sink", "rowsDelivered",
-      "contentHash", "committedAtMs")
+      "rowsFailed", "contentHash", "committedAtMs")
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(tmp, new Path(rootPath, s"commit-$commitId")),
@@ -124,7 +130,7 @@ final class LineageStore(spark: SparkSession, root: String,
     val all = entriesDf()
     val drop = all.join(broadcast(liveDf), Seq("file"), "left_anti")
       .select("runId", "snapshotId", "file", "sink", "rowsDelivered",
-        "contentHash", "committedAtMs")
+        "rowsFailed", "contentHash", "committedAtMs")
       .as[LineageEntry].collect().toSeq
     if (drop.nonEmpty) {
       val keep = all.join(broadcast(liveDf), Seq("file"), "left_semi")

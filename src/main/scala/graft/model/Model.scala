@@ -67,7 +67,20 @@ final case class LineageRow(
 final case class SinkRule(
     name: String,
     include: Seq[String] = Nil,
-    exclude: Seq[String] = Nil
+    exclude: Seq[String] = Nil,
+    /** Rows the remote REJECTS after the filter admitted them — the batch
+      * model of per-item bulk errors (opensearch.go:123-138). Substring
+      * predicates (OR) keep the outcome deterministic and reproducible;
+      * a real remote adapter would substitute actual per-item responses.
+      * Rejected rows are attempted, counted as failed, and not delivered.
+      */
+    rejectWhere: Seq[String] = Nil,
+    /** Sink flavor, the reference's sink.type (cmd/freader/config.go:192-196
+      * validation set + this engine's native "parquet"). Delivery always
+      * writes the row shape the flavor models (K5/K6 shapes live in
+      * Pipeline/Route); the kind is validated config surface.
+      */
+    kind: String = "parquet"
 )
 
 /** Multiline assembly mode — the reference's four modes
@@ -124,7 +137,11 @@ final case class PipelineConfig(
       */
     include: Seq[String] = Nil,
     /** Path exclude patterns (basename or full path, watcher.go:267-275). */
-    exclude: Seq[String] = Nil
+    exclude: Seq[String] = Nil,
+    /** Multiline idle-flush timeout (multline_reader.go:21,97) — consumed
+      * by the streaming flavor; carried from config for validation parity.
+      */
+    multilineTimeoutMs: Option[Long] = None
 ) {
   def validate(
       isDir: String => Boolean = graft.operators.PathFilter.localIsDir

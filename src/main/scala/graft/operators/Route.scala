@@ -48,6 +48,13 @@ object Route {
   def forSink(routedDf: DataFrame, rule: SinkRule): DataFrame =
     routedDf.filter(sinkPredicate(rule, col("text")))
 
+  /** TRUE where the remote rejects a row the filter admitted
+    * (SinkRule.rejectWhere, opensearch.go:123-138 NumFailed model).
+    */
+  def rejectPredicate(rule: SinkRule, text: Column): Column =
+    if (rule.rejectWhere.isEmpty) lit(false)
+    else rule.rejectWhere.map(s => text.contains(s)).reduce(_ || _)
+
   /** Per-row array of the sink names whose include/exclude rules accept the
     * row — lets all sinks be accounted in ONE scan instead of one scan per
     * sink (at 100 TB, S passes over the fan-out is the difference between

@@ -198,6 +198,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.filesAt(s1).toSet.subsetOf(table.filesAt(s2).toSet))
   }
 
+  test("lossy remote sink: rejected rows counted as failed, never delivered, never lost silently") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    val out = s"$root/sinks"
+    // 'flaky' rejects err rows after admitting everything; 'all' is lossless
+    val lossy = PipelineConfig(sinks = Seq(
+      SinkRule("all"),
+      SinkRule("flaky", rejectWhere = Seq("status=err"))))
+    table.append(Transcripts.synthesize(spark, numConvs = 20, turnsPerConv = 10).toDF())
+    val r = Pipeline.run(spark, table, lineage, lossy, out)
+
+    val errRows = spark.read.parquet(s"$out/all")
+      .filter(org.apache.spark.sql.functions.col("message").contains("status=err")).count()
+    assert(errRows > 0) // the fixture produces rejectable rows
+    // attempted = delivered + failed: flaky's failures equal all's err rows
+    assert(r.perSinkFailed("flaky") == errRows)
+    assert(r.perSinkDelivered("flaky") + r.perSinkFailed("flaky") == r.perSinkDelivered("all"))
+    assert(r.perSinkFailed("all") == 0)
+    // rejected rows never landed in the sink dir
+    assert(spark.read.parquet(s"$out/flaky")
+      .filter(org.apache.spark.sql.functions.col("message").contains("status=err")).count() == 0)
+    assert(sinkRows(out, "flaky") == r.perSinkDelivered("flaky"))
+    // lineage rows carry the failure accounting per (file, sink)
+    val entries = lineage.readAll().filter(_.sink == "flaky")
+    assert(entries.map(_.rowsFailed).sum == errRows)
+    // replay: the file is committed (attempted), not retried forever
+    val r2 = Pipeline.run(spark, table, lineage, lossy, out)
+    assert(r2.processedFiles.isEmpty)
+  }
+
   test("lineage commit-dir count stays bounded across runs (size-triggered compaction)") {
     val root = tmp()
     val table = new SnapshotTable(spark, s"$root/table")
