@@ -36,25 +36,41 @@ object Main {
           spark, numConvs.toLong, turnsPerConv.toInt, megaTurns = mega).toDF())
         println(s"""{"seeded_snapshot":$snap}""")
 
-      case "run" :: tableRoot :: lineageRoot :: outDir :: Nil =>
-        val cfg = PipelineConfig(sinks = Seq(
-          SinkRule("all"),
-          SinkRule("errors", include = Seq("status=err")),
-          SinkRule("clean", exclude = Seq("status=err", "INFO"))))
+      case "run" :: tableRoot :: lineageRoot :: outDir :: rest if rest.size <= 1 =>
+        // config file: positional arg or GRAFT_CONFIG env (the reference's
+        // --config flag / FREADER_CONFIG binding, cmd/freader/config.go:66-77);
+        // no file → built-in demo rules
+        val cfgFile = rest.headOption.orElse(sys.env.get("GRAFT_CONFIG"))
+        val cfg = cfgFile match {
+          case Some(f) =>
+            graft.config.ConfigLoader.load(Some(f), sys.env) match {
+              case Right(c) => c
+              case Left(err) =>
+                System.err.println(s"config error: $err")
+                sys.exit(2)
+                throw new IllegalStateException("unreachable")
+            }
+          case None => PipelineConfig(sinks = Seq(
+            SinkRule("all"),
+            SinkRule("errors", include = Seq("status=err")),
+            SinkRule("clean", exclude = Seq("status=err", "INFO"))))
+        }
         val report = Pipeline.run(spark, new SnapshotTable(spark, tableRoot),
           new LineageStore(spark, lineageRoot), cfg, outDir)
         val sinks = report.perSinkDelivered
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        val failed = report.perSinkFailed
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         println(s"""{"run_id":"${report.runId}","snapshot":${report.snapshotId},""" +
           s""""processed_files":${report.processedFiles.size},""" +
           s""""invalidated":${report.invalidatedFiles.size},""" +
           s""""pruned":${report.prunedFiles.size},""" +
           s""""input_rows":${report.inputRows},"blank_rows":${report.blankRows},""" +
-          s""""delivered":$sinks}""")
+          s""""delivered":$sinks,"failed":$failed}""")
 
       case other =>
         System.err.println(s"usage: graft.Main seed <table> <convs> <turns> [megaTurns] | " +
-          s"run <table> <lineage> <out>   (got: $other)")
+          s"run <table> <lineage> <out> [configFile]   (got: $other)")
         sys.exit(2)
     }
     spark.stop()

@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ConfigLoader
+import graft.model.{MultilineMode, MultilineSpec}
+
+/** Config loading parity with the reference's viper stack
+  * (cmd/freader/config.go:55-131 precedence, :190-237 validation;
+  * multiline sub-unmarshal + Java preset :100-131;
+  * multline_reader.go:37-48 strictness).
+  */
+class ConfigLoaderSpec extends AnyFunSuite {
+
+  private def loadText(toml: String,
+      env: Map[String, String] = Map.empty,
+      flags: Map[String, String] = Map.empty) = {
+    val f = Files.createTempFile("graft-cfg", ".toml")
+    Files.writeString(f, toml)
+    ConfigLoader.load(Some(f.toString), env, flags)
+  }
+
+  test("full file: collector, multiline, ordered sinks with filters and rejects") {
+    val cfg = loadText(
+      """# graft pipeline config
+        |[collector]
+        |separator = "\n"
+        |include = ["/data/logs/*.log", "file_1*.txt"]  # trailing comment
+        |exclude = ["*.tmp"]
+        |salt-buckets = 8
+        |lineage-partitions = 12
+        |checkpoint-dir = "/tmp/ckpt"
+        |
+        |[collector.multiline]
+        |mode = "haltBefore"
+        |start-pattern = "^(CALL|INFO)"
+        |condition-pattern = "^(CALL|INFO|ask)"
+        |timeout = "1m30s"
+        |
+        |[sink.all]
+        |type = "parquet"
+        |
+        |[sink.errors]
+        |type = "opensearch"
+        |include = ["status=err"]
+        |reject-where = ["note=\"lvl 4\""]
+        |
+        |[sink.clean]
+        |exclude = ["status=err", "INFO"]
+        |""".stripMargin).toOption.get
+    assert(cfg.separator == "\n")
+    assert(cfg.include == Seq("/data/logs/*.log", "file_1*.txt"))
+    assert(cfg.exclude == Seq("*.tmp"))
+    assert(cfg.saltBuckets == 8 && cfg.lineagePartitions == 12)
+    assert(cfg.checkpointDir.contains("/tmp/ckpt"))
+    assert(cfg.multiline.contains(MultilineSpec(
+      MultilineMode.HaltBefore, "^(CALL|INFO|ask)", Some("^(CALL|INFO)"))))
+    assert(cfg.multilineTimeoutMs.contains(90000L))
+    assert(cfg.sinks.map(_.name) == Seq("all", "errors", "clean"))
+    assert(cfg.sinks(1).include == Seq("status=err"))
+    assert(cfg.sinks(1).rejectWhere == Seq("note=\"lvl 4\""))
+    assert(cfg.sinks(1).kind == "opensearch")
+    assert(cfg.sinks(2).exclude == Seq("status=err", "INFO"))
+    assert(cfg.sinks(2).kind == "parquet")
+  }
+
+  test("java preset fills unset multiline fields only (config.go:105-120)") {
+    val cfg = loadText(
+      """[collector.multiline]
+        |java = true
+        |""".stripMargin).toOption.get
+    assert(cfg.multiline.contains(MultilineSpec.Java))
+    assert(cfg.multilineTimeoutMs.contains(MultilineSpec.JavaTimeoutMs))
+
+    // explicit fields win over the preset
+    val cfg2 = loadText(
+      """[collector.multiline]
+        |java = true
+        |mode = "haltWith"
+        |timeout = "2s"
+        |""".stripMargin).toOption.get
+    assert(cfg2.multiline.get.mode == MultilineMode.HaltWith)
+    assert(cfg2.multiline.get.condPattern == MultilineSpec.Java.condPattern)
+    assert(cfg2.multilineTimeoutMs.contains(2000L))
+  }
+
+  test("precedence: flags over env over file (viper binding order)") {
+    val toml =
+      """[collector]
+        |separator = "|"
+        |salt-buckets = 4
+        |include = ["*.log"]
+        |""".stripMargin
+    val env = Map(
+      ConfigLoader.envName("collector.separator") -> ";",
+      ConfigLoader.envName("collector.salt-buckets") -> "9")
+    val flags = Map("separator" -> "::")
+    val cfg = loadText(toml, env, flags).toOption.get
+    assert(cfg.separator == "::")   // flag beats env beats file
+    assert(cfg.saltBuckets == 9)    // env beats file
+    assert(cfg.include == Seq("*.log")) // file survives where not overridden
+  }
+
+  test("validation matrix (config.go:190-237 + multline_reader.go:37-48)") {
+    val cases: Seq[(String, String)] = Seq(
+      ("""[sink.x]
+         |type = "kafka"
+         |""".stripMargin) -> "invalid sink.type",
+      ("""[sink.x]
+         |type = "console"
+         |
+         |[sink]
+         |batch-size = 0
+         |""".stripMargin) -> "batch-size must be > 0",
+      ("""[sink]
+         |batch-interval = "0s"
+         |""".stripMargin) -> "batch-interval must be > 0",
+      ("""[collector.multiline]
+         |mode = "sideways"
+         |start-pattern = "^A"
+         |condition-pattern = "^B"
+         |timeout = "1s"
+         |""".stripMargin) -> "invalid multiline mode",
+      ("""[collector.multiline]
+         |mode = "haltWith"
+         |condition-pattern = "^B"
+         |timeout = "1s"
+         |""".stripMargin) -> "start-pattern is required",
+      ("""[collector.multiline]
+         |mode = "haltWith"
+         |start-pattern = "^A"
+         |timeout = "1s"
+         |""".stripMargin) -> "condition-pattern is required",
+      ("""[collector.multiline]
+         |mode = "haltWith"
+         |start-pattern = "^A"
+         |condition-pattern = "^B"
+         |""".stripMargin) -> "timeout",
+      ("""[collector.multiline]
+         |mode = "haltWith"
+         |start-pattern = "^(A"
+         |condition-pattern = "^B"
+         |timeout = "1s"
+         |""".stripMargin) -> "invalid start-pattern regex",
+      ("""[collector]
+         |separator = ""
+         |""".stripMargin) -> "separator must be non-empty")
+    for ((toml, want) <- cases) {
+      val got = loadText(toml)
+      assert(got.isLeft, s"expected failure containing '$want', got $got")
+      assert(got.left.toOption.get.contains(want),
+        s"error '${got.left.toOption.get}' should contain '$want'")
+    }
+  }
+
+  test("missing file errors; no sinks configured falls back to console default") {
+    assert(ConfigLoader.load(Some("/nonexistent/x.toml")).isLeft)
+    val cfg = loadText("[collector]\nsalt-buckets = 2\n").toOption.get
+    assert(cfg.sinks.map(_.name) == Seq("console"))
+    assert(cfg.sinks.head.kind == "console")
+  }
+
+  test("duration grammar (Go time.ParseDuration subset)") {
+    assert(ConfigLoader.parseDuration("500ms") == Right(500L))
+    assert(ConfigLoader.parseDuration("1.5s") == Right(1500L))
+    assert(ConfigLoader.parseDuration("1m30s") == Right(90000L))
+    assert(ConfigLoader.parseDuration("2h") == Right(7200000L))
+    assert(ConfigLoader.parseDuration("250us") == Right(0L))
+    assert(ConfigLoader.parseDuration("10").isLeft)
+    assert(ConfigLoader.parseDuration("ms").isLeft)
+    assert(ConfigLoader.parseDuration("1s junk").isLeft)
+  }
+
+  test("toml subset: comments, escapes, bad syntax errors") {
+    assert(ConfigLoader.parseToml("""k = "a # not comment" # real""")
+      == Right(Seq("k" -> ConfigLoader.S("a # not comment"))))
+    assert(ConfigLoader.parseToml("""k = "tab\tnl\nq\" end"""").toOption.get.head._2
+      == ConfigLoader.S("tab\tnl\nq\" end"))
+    assert(ConfigLoader.parseToml("k = unquoted").isLeft)
+    assert(ConfigLoader.parseToml("[sec\nk = 1").isLeft)
+    assert(ConfigLoader.parseToml("k = [1, \"a\", true]")
+      == Right(Seq("k" -> ConfigLoader.A(Seq("1", "a", "true")))))
+  }
+}
