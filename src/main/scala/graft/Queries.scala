@@ -130,13 +130,16 @@ object Queries {
         .when(id % 7 === 2, lit("1")).when(id % 7 === 3, lit("42"))
         .when(id % 7 === 4, lit("-7")).when(id % 7 === 5, lit("3.9"))
         .otherwise(lit("hello"))
-      val tsv = when(id % 3 === 0, lit("2024-01-02 03:04:05"))
+      // %3==0 parses ONLY via the configured (non-autodetect) layout →
+      // string kind + _parsed set; %3==1 autodetects as timestamp → ts_v
+      // set, _parsed GATED OFF (the csv.go:119-127 type-assert quirk)
+      val tsv = when(id % 3 === 0, lit("02.01.2024 03:04"))
         .when(id % 3 === 1, lit("2024/01/02 03:04:05")).otherwise(lit("n/a"))
       val data = events(s, dir).select(id.as("ord"),
         concat(id.cast("string"), lit(","), flag, lit(","), tsv, lit(",\"x, y\"")).as("line"))
       val header = s.range(1).select(lit(-1L).as("ord"), lit("id,flag,ts,note").as("line"))
       val t = Parse.csvTableTyped(header.unionByName(data), "line", "ord",
-        timestampField = "ts", timestampFormat = "yyyy-MM-dd HH:mm:ss")
+        timestampField = "ts", timestampFormat = "dd.MM.yyyy HH:mm")
       t.select(col("ord").as("event_id"), col("id"),
         col("flag_typed.kind").as("flag_kind"),
         col("flag_typed.bool_v").as("flag_bool"),
@@ -682,9 +685,9 @@ object Queries {
         |  CASE event_id % 7 WHEN 3 THEN 42 WHEN 4 THEN -7 END AS flag_int,
         |  CASE event_id % 7 WHEN 5 THEN CAST(3.9 AS DOUBLE) END AS flag_float,
         |  CASE event_id % 7 WHEN 6 THEN 'hello' END AS flag_str,
-        |  CASE WHEN event_id % 3 = 2 THEN 'string' ELSE 'timestamp' END AS ts_kind,
-        |  CASE WHEN event_id % 3 IN (0, 1) THEN TIMESTAMP '2024-01-02 03:04:05' END AS ts_value,
-        |  CASE WHEN event_id % 3 = 0 THEN TIMESTAMP '2024-01-02 03:04:05' END AS ts_parsed,
+        |  CASE WHEN event_id % 3 = 1 THEN 'timestamp' ELSE 'string' END AS ts_kind,
+        |  CASE WHEN event_id % 3 = 1 THEN TIMESTAMP '2024-01-02 03:04:05' END AS ts_value,
+        |  CASE WHEN event_id % 3 = 0 THEN TIMESTAMP '2024-01-02 03:04:00' END AS ts_parsed,
         |  'x, y' AS note
         |FROM events""".stripMargin,
 

@@ -273,24 +273,36 @@ object Parse {
     * `timestampField`/`timestampFormat` are configured, the companion
     * `<field>_parsed` timestamp column is added (null where the value
     * doesn't parse in that ONE format — the columnar analogue of Go's
-    * absent map key; only the configured layout is tried, exactly like
-    * `time.Parse(p.timestampFormat, ...)`). `timestampFormat` is a Spark
+    * absent map key; only the configured layout is tried, like
+    * `time.Parse(p.timestampFormat, ...)`). STRICT parity quirk included:
+    * the reference attempts the parse only when the auto-detected cell is
+    * still a string (the `timestampValue.(string)` type-assert fails once
+    * detectType already returned a time.Time), so a value that
+    * auto-detects as a timestamp gets ts_v but NEVER `_parsed` — the gate
+    * here is `kind ∈ {string, empty}`. `timestampFormat` is a Spark
     * datetime pattern — translating a Go layout is the caller's config
     * concern.
     */
   def csvTableTyped(lines: DataFrame, lineCol: String, orderCol: String,
       delim: String = ",", hasHeaders: Boolean = true,
       customHeaders: Seq[String] = Nil, extraSlots: Int = 4,
-      timestampField: String = "", timestampFormat: String = ""): DataFrame = {
+      timestampField: String = "", timestampFormat: String = "",
+      autoDetectTypes: Boolean = true): DataFrame = {
     val base = csvTable(lines, lineCol, orderCol, delim, hasHeaders,
       customHeaders, extraSlots)
     val named = base.columns.filter(c => c != orderCol && !c.startsWith("extra_field_"))
-    val typed = named.foldLeft(base)((df, c) =>
-      df.withColumn(s"${c}_typed", typedValue(col(c))))
+    // autoDetectTypes=false: cells stay strings (csv.go:107 skips detection)
+    // → no <name>_typed columns, and the ts parse is ungated
+    val typed = if (!autoDetectTypes) base
+      else named.foldLeft(base)((df, c) =>
+        df.withColumn(s"${c}_typed", typedValue(col(c))))
     if (timestampField.nonEmpty && timestampFormat.nonEmpty &&
-        named.contains(timestampField))
+        named.contains(timestampField)) {
+      val p = try_to_timestamp(trim(col(timestampField)), lit(timestampFormat))
       typed.withColumn(s"${timestampField}_parsed",
-        try_to_timestamp(trim(col(timestampField)), lit(timestampFormat)))
-    else typed
+        if (!autoDetectTypes) p
+        else when(col(s"${timestampField}_typed").getField("kind")
+          .isin("string", "empty"), p))
+    } else typed
   }
 }

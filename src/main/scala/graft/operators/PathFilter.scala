@@ -71,15 +71,30 @@ object PathFilter {
           i += 1
           sb.append(java.util.regex.Pattern.quote(pattern.charAt(i).toString))
         case '[' =>
-          val close = pattern.indexOf(']', i + 2) // class is non-empty in Go
-          require(close > 0, s"bad pattern (unterminated class): $pattern")
-          val body = pattern.substring(i + 1, close)
-          val neg = body.startsWith("^")
-          val chars = (if (neg) body.substring(1) else body)
+          // scan the class body honoring \-escapes: an escaped ']' must NOT
+          // terminate the class (Go getEsc semantics), and escaped chars
+          // enter the body UNESCAPED before being re-escaped for the regex
+          var j = i + 1
+          val neg = j < n && pattern.charAt(j) == '^'
+          if (neg) j += 1
+          val body = new StringBuilder
+          var closed = false
+          while (j < n && !closed) {
+            pattern.charAt(j) match {
+              case ']' if body.nonEmpty => closed = true
+              case '\\' =>
+                require(j + 1 < n, s"bad pattern (trailing backslash): $pattern")
+                body += pattern.charAt(j + 1)
+                j += 2
+              case ch => body += ch; j += 1
+            }
+          }
+          require(closed, s"bad pattern (unterminated class): $pattern")
+          val chars = body.toString
             // keep ranges, escape regex-significant chars other than '-'
             .flatMap(c => if (c == '-' || c.isLetterOrDigit) c.toString else "\\" + c)
           sb.append(if (neg) s"[^$chars]" else s"[$chars]")
-          i = close
+          i = j
         case c => sb.append(java.util.regex.Pattern.quote(c.toString))
       }
       i += 1
@@ -164,7 +179,14 @@ object PathFilter {
 
   // ------------------------------------------------------------ scan roots + overlap
 
-  /** Deepest non-meta directory prefix of a glob (util.go:25-56). */
+  /** Deepest non-meta directory prefix of a glob (util.go:25-56).
+    *
+    * DOCUMENTED DIVERGENCE: for a root-level glob ("*.log" anchored at
+    * "/") this returns "/" where the reference's TrimSuffix loop empties the path
+    * and falls back to "." — scanning the filesystem root is the
+    * semantically correct walk root for an absolute pattern, while "."
+    * would silently scan the process CWD. Pinned in PathFilterSpec.
+    */
   def deriveGlobRoot(pattern: String): String = {
     if (pattern.isEmpty) return ""
     var p = clean(pattern)

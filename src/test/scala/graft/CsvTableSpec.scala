@@ -62,10 +62,31 @@ class CsvTableSpec extends AnyFunSuite {
       .as[(String, Long, String, Option[Boolean], Option[Double], String, String, Boolean)]
       .collect().toSeq
     assert(got == Seq(
-      ("int", 7L, "bool", Some(true), None, null, "timestamp", true),
+      // row 1: auto-detected as timestamp → the reference's string
+      // type-assert fails and _parsed is NEVER set (csv.go:119-127 quirk)
+      ("int", 7L, "bool", Some(true), None, null, "timestamp", false),
       ("int", 8L, "bool", Some(false), None, null, "timestamp", false),
       ("int", 9L, "float", None, Some(3.5), null, "string", false),
       ("int", 10L, "empty", None, None, "", "empty", false)))
+  }
+
+  test("ts companion sets only for string-kind cells (the type-assert gate)") {
+    // a layout OUTSIDE the auto-detect list: the value stays string-kind,
+    // so the configured-format parse actually happens
+    val lines = Seq(
+      (0, "id,ts"),
+      (1, "1,02.01.2024 03:04"),          // string kind, format parses
+      (2, "2,2024-01-02 03:04:05"),       // timestamp kind → gated off
+      (3, "3,n/a")).toDF("line_num", "line")
+    val t = Parse.csvTableTyped(lines, "line", "line_num", extraSlots = 0,
+      timestampField = "ts", timestampFormat = "dd.MM.yyyy HH:mm")
+    val got = t.orderBy("line_num")
+      .select($"ts_typed.kind", $"ts_parsed".cast("string"))
+      .as[(String, Option[String])].collect().toSeq
+    assert(got == Seq(
+      ("string", Some("2024-01-02 03:04:00")),
+      ("timestamp", None),
+      ("string", None)))
   }
 
   test("exactDeduped keeps the lowest id per content and preserves schema") {

@@ -60,7 +60,13 @@ class PathFilterSpec extends AnyFunSuite {
     assert(m("/var/log/*.log", "/var/log/sys.log") && !m("/var/log/*.log", "/var/log/d/sys.log"))
     assert(m("a\\*b", "a*b") && !m("a\\*b", "axb"))
     assert(m("a.b", "a.b") && !m("a.b", "axb")) // '.' is literal
+    // escaped ']' inside a class does not terminate it (Go getEsc), and
+    // class-body escapes are unescaped before re-escaping for the regex
+    assert(m("a[\\]]b", "a]b") && !m("a[\\]]b", "a\\b"))
+    assert(m("a[x\\]y]b", "a]b") && m("a[x\\]y]b", "ayb") && !m("a[x\\]y]b", "azb"))
+    assert(m("f[\\^]g", "f^g") && !m("f[\\^]g", "fxg"))
     intercept[IllegalArgumentException](PathFilter.globToRegex("bad["))
+    intercept[IllegalArgumentException](PathFilter.globToRegex("bad[\\"))
   }
 
   test("clean and glob-root derivation") {
@@ -70,6 +76,10 @@ class PathFilterSpec extends AnyFunSuite {
     assert(PathFilter.deriveGlobRoot("/var/log/*.log") == "/var/log")
     assert(PathFilter.deriveGlobRoot("logs/**/*.txt") == "logs")
     assert(PathFilter.deriveGlobRoot("*.log") == ".")
+    // PINNED DIVERGENCE: the reference's TrimSuffix loop returns "." for a
+    // root-level glob (util.go:25-56); "/" is the correct walk root for an
+    // absolute pattern — "." would silently scan the process CWD
+    assert(PathFilter.deriveGlobRoot("/*.log") == "/")
     assert(PathFilter.deriveScanRoots(Seq("/var/log/*.log", "/var/log/x*"),
       _ => false) == Seq("/var/log"))
     assert(PathFilter.deriveScanRoots(Nil, _ => false) == Seq("."))

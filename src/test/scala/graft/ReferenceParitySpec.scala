@@ -38,9 +38,13 @@ class ReferenceParitySpec extends AnyFunSuite {
 
   test("csv_test.go TimestampParsing: configured field parses in the one configured format") {
     val lines = Seq((1, "2023-12-01 10:30:45,Test message")).toDF("n", "line")
+    // csv_test.go:123-129 leaves AutoDetectTypes unset: cells stay strings,
+    // so the configured-format parse is ungated (the type-assert gate only
+    // exists when detection is on — csv.go:107,123-127)
     val t = Parse.csvTableTyped(lines, "line", "n", hasHeaders = false,
       customHeaders = Seq("timestamp", "message"), extraSlots = 0,
-      timestampField = "timestamp", timestampFormat = "yyyy-MM-dd HH:mm:ss")
+      timestampField = "timestamp", timestampFormat = "yyyy-MM-dd HH:mm:ss",
+      autoDetectTypes = false)
     val parsed = t.select($"timestamp_parsed".cast("string")).as[String].head()
     assert(parsed == "2023-12-01 10:30:45") // session TZ is UTC
   }
