@@ -23,6 +23,12 @@ object Salt {
 
   /** Spread each conversation over `saltBuckets` partitions; safe for any
     * stage that treats rows independently.
+    *
+    * Sizing (measured, BENCH.md skew section): saltBuckets must exceed the
+    * target partition count or a mega-conversation splits into too few
+    * distinct keys to spread — 16 buckets into 32 partitions measured
+    * max/median task time 4.6; at 4× the partition count it flattens to
+    * 1.2. Rule of thumb: saltBuckets ≥ 4 × numPartitions.
     */
   def saltedRepartition(df: DataFrame, numPartitions: Int, saltBuckets: Int): DataFrame =
     df.repartition(numPartitions, col("conv_id"), saltCol(saltBuckets))

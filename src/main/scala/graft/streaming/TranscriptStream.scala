@@ -47,6 +47,15 @@ object TranscriptStream {
     * "no flush until the record closes" semantics. No wall-clock flush:
     * exactly-once, but an abandoned conversation never emits its tail —
     * pair with [[assembleStreamIdleFlush]] when A2 semantics are wanted.
+    *
+    * OPERATING CONSTRAINT (sizing, not correctness): `it.toSeq.sortBy`
+    * materializes ONE conversation's rows from ONE micro-batch in task
+    * memory. At tail rates (the reference's regime — a poll interval of
+    * new lines per file) that is bytes-to-kilobytes. Do NOT replay a
+    * historical backfill through this path: a mega-conversation arriving
+    * in a single batch would buffer whole; backfills belong to the batch
+    * formulation ([[graft.operators.Segments.assembleFsm]]), whose
+    * iterator holds only the open buffer regardless of input size.
     */
   def assembleStream(turns: Dataset[Turn], spec: MultilineSpec): Dataset[SegRecord] = {
     import turns.sparkSession.implicits._
