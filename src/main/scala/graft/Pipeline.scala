@@ -114,7 +114,15 @@ object Pipeline {
     // metadata any Spark file scan holds) and the (small) invalidated set.
     import spark.implicits._
     val filesDf = files.toDF("file")
-    val fpDf = Fingerprint.ofFilesDf(spark, files)
+    // fingerprint strategy (watcher/config.go:21-42): deviceAndInode is
+    // storage identity — the path — so in-place rewrites are undetected by
+    // design; checksum/checksumSeparator hash a content prefix + length
+    // (separator framing belongs to text rows; for binary snapshot files
+    // it maps to the prefix checksum — Model.scala divergence note)
+    val fpDf =
+      if (cfg.fingerprintStrategy == "deviceAndInode")
+        filesDf.select(col("file"), col("file").as("contentHash"))
+      else Fingerprint.ofFilesDf(spark, files, cfg.fingerprintSize)
     val entries = lineage.entriesDf()
     val latestPerFile = entries
       .groupBy(col("file"))
@@ -232,11 +240,18 @@ object Pipeline {
           val subset =
             if (newBids.size == todo.size) base
             else base.filter(col("batch").isin(newBids.toSeq: _*))
+          // constant labels ride every delivered row (SinkConfig.Labels
+          // parity — the K5/K6 label-map slot)
+          val labelsCol =
+            if (cfg.labels.isEmpty)
+              map().cast("map<string,string>")
+            else map(cfg.labels.toSeq.sortBy(_._1)
+              .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
           subset
             .select(col("ts"), col("host"), col("route_key"), col("batch"),
               col("text").as("message"), col("conv_id"), col("turn_idx"),
               col("verb"), col("dur_ms"), col("status"), col("tool_family"),
-              col("src_file"))
+              col("src_file"), labelsCol.as("labels"))
             .write.mode("overwrite").partitionBy("batch", "route_key")
             .parquet(staging.toString)
           fs.mkdirs(sinkRoot)

@@ -44,19 +44,23 @@ object ConfigLoader {
   private val knownKeys: Seq[String] = Seq(
     "collector.separator", "collector.include", "collector.exclude",
     "collector.salt-buckets", "collector.lineage-partitions",
-    "collector.checkpoint-dir",
+    "collector.checkpoint-dir", "collector.poll-interval",
+    "collector.workers", "collector.fingerprint-strategy",
+    "collector.fingerprint-size",
     "collector.multiline.mode", "collector.multiline.start-pattern",
     "collector.multiline.condition-pattern", "collector.multiline.timeout",
     "collector.multiline.java",
-    "sink.batch-size", "sink.batch-interval")
+    "sink.batch-size", "sink.batch-interval",
+    "prometheus.enable", "prometheus.addr")
 
   def envName(key: String): String =
     "GRAFT_" + key.toUpperCase.replace('.', '_').replace('-', '_')
 
   private val arrayKeys = Set("collector.include", "collector.exclude")
-  private val boolKeys = Set("collector.multiline.java")
+  private val boolKeys = Set("collector.multiline.java", "prometheus.enable")
   private val intKeys = Set("collector.salt-buckets",
-    "collector.lineage-partitions", "sink.batch-size")
+    "collector.lineage-partitions", "sink.batch-size",
+    "collector.workers", "collector.fingerprint-size")
 
   val sinkKinds: Set[String] =
     Set("console", "file", "clickhouse", "opensearch", "parquet")
@@ -163,9 +167,17 @@ object ConfigLoader {
       saltBuckets <- lk.int("collector.salt-buckets", 16)
       lineageParts <- lk.int("collector.lineage-partitions", 32)
       checkpointDir <- lk.str("collector.checkpoint-dir", "")
+      fpStrategy <- lk.str("collector.fingerprint-strategy", "checksum")
+      fpSize <- lk.int("collector.fingerprint-size", 64 * 1024)
+      _ <- schedulerChecks(lk)
+      _ <- prometheusChecks(lk)
       _ <- batchChecks(lk)
       ml <- multiline(lk)
       sinks <- sinkRules(kvs, lk)
+      labels <- Right(kvs.collect {
+        case (k, S(v)) if k.startsWith("sink.labels.") =>
+          k.stripPrefix("sink.labels.") -> v
+      }.toMap)
     } yield PipelineConfig(
       separator = separator,
       multiline = ml.map(_._1),
@@ -175,8 +187,31 @@ object ConfigLoader {
       checkpointDir = if (checkpointDir.isEmpty) None else Some(checkpointDir),
       include = include,
       exclude = exclude,
-      multilineTimeoutMs = ml.map(_._2))
+      multilineTimeoutMs = ml.map(_._2),
+      fingerprintStrategy = fpStrategy,
+      fingerprintSize = fpSize,
+      labels = labels)
   }
+
+  /** poll-interval > 0 and workers >= 1 when set — validated for parity;
+    * the batch engine's scheduler (snapshot poll cadence, task parallelism)
+    * absorbs both values.
+    */
+  private def schedulerChecks(lk: Lookup): Either[String, Unit] = for {
+    pi <- lk.str("collector.poll-interval", "2s")
+    ms <- parseDuration(pi).left.map(e => s"collector.poll-interval: $e")
+    _ <- if (ms > 0) Right(()) else Left("collector.poll-interval must be > 0")
+    w <- lk.int("collector.workers", 1)
+    _ <- if (w >= 1) Right(()) else Left("collector.workers must be >= 1")
+  } yield ()
+
+  /** prometheus.addr must be set when prometheus.enable (config.go:227-229). */
+  private def prometheusChecks(lk: Lookup): Either[String, Unit] = for {
+    en <- lk.bool("prometheus.enable", dflt = false)
+    addr <- lk.str("prometheus.addr", "")
+    _ <- if (!en || addr.nonEmpty) Right(())
+      else Left("prometheus.addr must be set when prometheus.enable is true")
+  } yield ()
 
   /** sink.batch-size > 0, sink.batch-interval > 0 when set — the reference
     * validations (config.go:198-204); the engine's batching is lossless by
@@ -230,7 +265,7 @@ object ConfigLoader {
     val names = mutable.LinkedHashSet.empty[String]
     val re = "^sink\\.([^.]+)\\.(type|include|exclude|reject-where)$".r
     kvs.foreach {
-      case (re(name, _), _) => names += name
+      case (re(name, _), _) if name != "labels" => names += name
       case _ => ()
     }
     if (names.isEmpty) return Right(Seq(SinkRule("console", kind = "console")))

@@ -141,7 +141,28 @@ final case class PipelineConfig(
     /** Multiline idle-flush timeout (multline_reader.go:21,97) — consumed
       * by the streaming flavor; carried from config for validation parity.
       */
-    multilineTimeoutMs: Option[Long] = None
+    multilineTimeoutMs: Option[Long] = None,
+    /** File fingerprint strategy (internal/watcher/config.go:21-42 matrix:
+      * checksum | deviceAndInode | checksumSeparator). `checksum` hashes the
+      * first `fingerprintSize` bytes + length; `deviceAndInode` is storage
+      * identity — here the file path, so content rewritten in place is NOT
+      * detected (exactly the dev:ino trade-off). `checksumSeparator` frames
+      * by separator, which applies to text rows (FingerprintStrategy
+      * Column form); at the snapshot-file layer (parquet, binary) it maps
+      * to `checksum` — documented divergence.
+      */
+    fingerprintStrategy: String = "checksum",
+    /** Prefix bytes for checksum strategies. The reference default is 64
+      * (suits log lines, config.go DefaultConfig); data files here are
+      * parquet, whose first bytes are format-similar across files, so the
+      * engine default is 64 KiB (+ length always mixed in).
+      */
+    fingerprintSize: Int = 64 * 1024,
+    /** Constant labels stamped on every delivered row (SinkConfig.Labels,
+      * cmd/freader/config.go DefaultConfig; applied at delivery like the
+      * ClickHouse/OpenSearch label maps).
+      */
+    labels: Map[String, String] = Map.empty
 ) {
   def validate(
       isDir: String => Boolean = graft.operators.PathFilter.localIsDir
@@ -152,6 +173,12 @@ final case class PipelineConfig(
       Left("sink names must be unique")
     else if (saltBuckets < 1) Left("saltBuckets must be >= 1")
     else if (lineagePartitions < 1) Left("lineagePartitions must be >= 1")
+    // the watcher fingerprint matrix (internal/watcher/config.go:21-42)
+    else if (!Set("checksum", "deviceAndInode", "checksumSeparator")
+      .contains(fingerprintStrategy))
+      Left(s"unsupported fingerprint strategy: $fingerprintStrategy")
+    else if (fingerprintStrategy != "deviceAndInode" && fingerprintSize <= 0)
+      Left("fingerprint size must be greater than 0")
     else if (include.nonEmpty &&
       graft.operators.PathFilter.validateRoots(include, isDir).isLeft)
       Left(graft.operators.PathFilter.validateRoots(include, isDir)

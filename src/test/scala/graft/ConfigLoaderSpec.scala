@@ -146,7 +146,23 @@ class ConfigLoaderSpec extends AnyFunSuite {
          |""".stripMargin) -> "invalid start-pattern regex",
       ("""[collector]
          |separator = ""
-         |""".stripMargin) -> "separator must be non-empty")
+         |""".stripMargin) -> "separator must be non-empty",
+      ("""[collector]
+         |fingerprint-strategy = "sha1"
+         |""".stripMargin) -> "unsupported fingerprint strategy",
+      ("""[collector]
+         |fingerprint-strategy = "checksum"
+         |fingerprint-size = 0
+         |""".stripMargin) -> "fingerprint size must be greater than 0",
+      ("""[collector]
+         |poll-interval = "0s"
+         |""".stripMargin) -> "poll-interval must be > 0",
+      ("""[collector]
+         |workers = 0
+         |""".stripMargin) -> "workers must be >= 1",
+      ("""[prometheus]
+         |enable = true
+         |""".stripMargin) -> "prometheus.addr must be set")
     for ((toml, want) <- cases) {
       val got = loadText(toml)
       assert(got.isLeft, s"expected failure containing '$want', got $got")
@@ -160,6 +176,29 @@ class ConfigLoaderSpec extends AnyFunSuite {
     val cfg = loadText("[collector]\nsalt-buckets = 2\n").toOption.get
     assert(cfg.sinks.map(_.name) == Seq("console"))
     assert(cfg.sinks.head.kind == "console")
+  }
+
+  test("fingerprint strategy, scheduler keys, prometheus, labels all load") {
+    val cfg = loadText(
+      """[collector]
+        |fingerprint-strategy = "deviceAndInode"
+        |poll-interval = "100ms"
+        |workers = 4
+        |
+        |[prometheus]
+        |enable = true
+        |addr = ":2112"
+        |
+        |[sink.labels]
+        |env = "prod"
+        |team = "infra"
+        |
+        |[sink.all]
+        |type = "parquet"
+        |""".stripMargin).toOption.get
+    assert(cfg.fingerprintStrategy == "deviceAndInode")
+    assert(cfg.labels == Map("env" -> "prod", "team" -> "infra"))
+    assert(cfg.sinks.map(_.name) == Seq("all")) // labels is not a sink
   }
 
   test("duration grammar (Go time.ParseDuration subset)") {

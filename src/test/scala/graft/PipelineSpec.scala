@@ -229,6 +229,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.processedFiles.isEmpty)
   }
 
+  test("deviceAndInode strategy: path identity — in-place rewrite NOT invalidated; labels ride rows") {
+    val root = tmp()
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    val out = s"$root/sinks"
+    val devCfg = cfg.copy(fingerprintStrategy = "deviceAndInode",
+      labels = Map("env" -> "prod"))
+    table.append(Transcripts.synthesize(spark, numConvs = 5, turnsPerConv = 6).toDF())
+    val r1 = Pipeline.run(spark, table, lineage, devCfg, out)
+    assert(r1.processedFiles.nonEmpty)
+    // labels map rides every delivered row (SinkConfig.Labels parity)
+    val delivered = spark.read.parquet(s"$out/all")
+    assert(delivered.filter(
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("labels"), "env") === "prod")
+      .count() == delivered.count())
+
+    // rewrite one committed data file in place: dev:ino identity does NOT
+    // detect it (the documented strategy trade-off, file_id_linux.go)
+    val victim = r1.processedFiles.head
+    val replacement = Transcripts.synthesize(spark, 2, 3).toDF()
+    val tmpOut = s"$root/replacement"
+    replacement.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val fs = new Path(victim).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPart = fs.listStatus(new Path(tmpOut))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(new Path(victim), false)
+    require(fs.rename(newPart, new Path(victim)))
+    val r2 = Pipeline.run(spark, table, lineage, devCfg, out)
+    assert(r2.invalidatedFiles.isEmpty && r2.processedFiles.isEmpty)
+  }
+
   test("lineage commit-dir count stays bounded across runs (size-triggered compaction)") {
     val root = tmp()
     val table = new SnapshotTable(spark, s"$root/table")
