@@ -408,6 +408,51 @@ object Queries {
         .select("doc_id").distinct()
     }),
 
+    // sequence packing (concat-then-chunk): the pretraining packing
+    // discipline — shard-ordered documents' tokens are concatenated and
+    // split every `budget` tokens; each doc records its shard, start
+    // offset, bin, and whether it straddles a bin boundary. Shards make
+    // packing embarrassingly parallel (one window per shard, never a
+    // global sort) — the 100 TB shape.
+    "q_pack_sequences" -> ((s, dir) => {
+      val budget = 2048
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      TextAnalysis.tokenCounts(documents(s, dir))
+        .select(col("doc_id"), (col("doc_id") % 16).cast("int").as("shard"),
+          col("bpe_est_tokens").cast("long").as("n"))
+        .withColumn("start_tok", coalesce(sum("n").over(w), lit(0L)))
+        .withColumn("bin_id", floor(col("start_tok") / budget).cast("long"))
+        .withColumn("straddles", when(col("n") > 0,
+          floor((col("start_tok") + col("n") - 1) / budget).cast("long") > col("bin_id"))
+          .otherwise(lit(false)))
+        .select("doc_id", "shard", "start_tok", "bin_id", "straddles")
+    }),
+
+    // decontamination with overlap SCORING: per training doc, the fraction
+    // of its 8-gram hashes present in the benchmark index — the graded
+    // form of q_decontaminate (flagging at a threshold is a filter on
+    // this). Same broadcast inverted index, one corpus pass.
+    "q_decontaminate_score" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 300)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("prefix words "), col("text")).as("text"))
+      val corpus = d.unionByName(planted)
+      val bench = Dedup.shingleHashSets(
+          corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
+        .select(explode(col("hs")).as("h")).distinct()
+      val train = Dedup.shingleHashSets(
+          corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
+      train.select(col("id").as("doc_id"), size(col("hs")).as("n_sh"),
+          explode(col("hs")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))
+        .select(col("doc_id"), col("n_hit"),
+          TextAnalysis.r6(col("n_hit").cast("double") / col("n_sh")).as("overlap"))
+    }),
+
     // FLAGSHIP training-data curation pipeline, end to end: exact dedup →
     // MinHash-LSH near-dup removal (drop the higher id of each verified
     // pair) → language gate → quality gate. Every stage is the scale-path
@@ -910,6 +955,43 @@ object Queries {
          |b AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 97 = 0)
          |SELECT DISTINCT doc_id FROM sh8
          |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM b)""".stripMargin,
+
+    // packing: the identical per-shard exclusive-prefix cumsum in SQL;
+    // straddle gate n > 0 keeps floor-division semantics aligned (DuckDB
+    // // floors negatives, Spark casts truncate — both sides avoid the
+    // negative operand entirely)
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+        |    CAST(greatest(
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |      CAST(ceil(length(text) / 4.0) AS INTEGER)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, shard, start_tok, start_tok // 2048 AS bin_id,
+        |  CASE WHEN n > 0 THEN ((start_tok + n - 1) // 2048) > (start_tok // 2048)
+        |       ELSE FALSE END AS straddles
+        |FROM c""".stripMargin,
+
+    "q_decontaminate_score" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, 'prefix words ' || text FROM documents
+         |  WHERE doc_id % 97 = 0 AND doc_id < 300),
+         |sh8 AS (SELECT id AS doc_id, len(hs) AS n_sh, unnest(hs) AS h
+         |        FROM ${hashedShinglesSql("corpus", 8)} hx),
+         |b AS (SELECT DISTINCT h FROM sh8 WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_hit,
+         |  floor((CAST(count(*) AS DOUBLE) / n_sh) * 1000000 + 0.5) / 1000000 AS overlap
+         |FROM sh8
+         |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM b)
+         |GROUP BY doc_id, n_sh""".stripMargin,
 
     // composition of the exact-dedup, minhash, lang-id and quality oracle
     // recipes over the same planted corpus — stage by stage
