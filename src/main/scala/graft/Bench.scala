@@ -116,7 +116,10 @@ object Bench {
     // window recorded 0.675 for an engine that measures 0.82+ quiet).
     // Interleave `rounds` alternating sessions per leg and take the
     // overall min, so each leg gets more than one chance at a quiet window.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+    // 3 rounds: the observed steal bursts last minutes, so two alternating
+    // windows per leg still occasionally both land dirty (r3 dry-run
+    // recorded 0.795 while quiet-window measurements sit at 0.82-0.93)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     def measure(cores: Int): Double = {
       val s = session(cores)
       e2eJob(s, turnsPath) // warm

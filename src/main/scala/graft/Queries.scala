@@ -453,6 +453,44 @@ object Queries {
           TextAnalysis.r6(col("n_hit").cast("double") / col("n_sh")).as("overlap"))
     }),
 
+    // Gopher-style repetition filters: duplicate-line fraction (10-token
+    // lines) + top-bigram share. Docs with doc_id % 5 == 0 get the first
+    // 10-token line planted three extra times so the dup metric provably
+    // fires at every sf. Line stats are pure expressions; the bigram mode
+    // is one map-side-combinable (id, bigram) count — ids only on the wire.
+    "q_repetition" -> ((s, dir) => {
+      val w0 = split(lower(trim(col("text"))), "\\s+")
+      val prefix = concat(array_join(slice(w0, 1, 10), " "), lit(" "))
+      val planted = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(repeat(prefix, 3), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.repetition(planted, "doc_id", "text")
+    }),
+
+    // PII scrubbing: typed-redaction of planted emails/IPv4s/phone tokens
+    // with per-family counts. Pure per-row regex expressions — the regex
+    // families are chosen to agree between Java regex and RE2.
+    "q_pii_scrub" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or admin@test.org from 10.1."),
+          (col("doc_id") % 256).cast("string"), lit(".7 call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.piiScrub(planted, "text")
+        .select("doc_id", "n_email", "n_ip", "n_phone", "scrubbed")
+    }),
+
+    // sliding-window chunking: context windows of 64 tokens advancing by
+    // 48 (overlap 16) over the BPE-estimate token count — one row per
+    // chunk, closed-form count, explode only, zero shuffle.
+    "q_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(
+        TextAnalysis.tokenCounts(documents(s, dir))
+          .select(col("doc_id"), col("bpe_est_tokens").cast("long").as("n")),
+        "doc_id", "n", window = 64L, stride = 48L)),
+
     // FLAGSHIP training-data curation pipeline, end to end: exact dedup →
     // MinHash-LSH near-dup removal (drop the higher id of each verified
     // pair) → language gate → quality gate. Every stage is the scale-path
@@ -992,6 +1030,68 @@ object Queries {
          |FROM sh8
          |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM b)
          |GROUP BY doc_id, n_sh""".stripMargin,
+
+    // repetition: identical plant + 10-token line windows + bigram mode;
+    // left join mirrors the Spark left join for bigram-less docs
+    "q_repetition" ->
+      """WITH rdoc AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN repeat(array_to_string(
+        |           (regexp_split_to_array(lower(trim(text)), '\s+'))[1:10], ' ') || ' ', 3) || text
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text2)), '\s+') AS t FROM rdoc),
+        |ln AS (SELECT doc_id, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_lines,
+        |         CAST(len(list_distinct([array_to_string(t[(j*10+1):(j*10+10)], ' ')
+        |           FOR j IN range(CAST(ceil(len(t) / 10.0) AS BIGINT))])) AS BIGINT) AS n_uniq
+        |       FROM w),
+        |bgi AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM w),
+        |bgc AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, count(*) AS c
+        |        FROM bgi GROUP BY 1, 2),
+        |bgm AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgc GROUP BY 1)
+        |SELECT l.doc_id, l.n_lines,
+        |  floor((CAST(l.n_lines - l.n_uniq AS DOUBLE) / l.n_lines) * 1000000 + 0.5) / 1000000 AS dup_line_frac,
+        |  floor(coalesce(CAST(m.top_c AS DOUBLE) / m.n_bg, 0.0) * 1000000 + 0.5) / 1000000 AS top_bigram_frac
+        |FROM ln l LEFT JOIN bgm m ON l.doc_id = m.doc_id""".stripMargin,
+
+    // pii scrub: same plant, same regexes (single-quoted — no escape
+    // processing in either engine's SQL string), same email→ip→phone order
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or admin@test.org from 10.1.'
+         |      || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE text END AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '${TextAnalysis.emailRe}')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(text2, '${TextAnalysis.ipv4Re}')) AS INTEGER) AS n_ip,
+         |  CAST(len(regexp_extract_all(text2, '${TextAnalysis.phoneRe}')) AS INTEGER) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(text2,
+         |    '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM p""".stripMargin,
+
+    // chunk windows: same closed-form chunk count (floor of the identical
+    // double division), range() explode, same clamped end
+    "q_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(greatest(
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |      CAST(ceil(length(text) / 4.0) AS INTEGER)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, CASE WHEN n <= 64 THEN 1
+        |        ELSE CAST(floor((n - 17) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        |      FROM t),
+        |e AS (SELECT doc_id, n, unnest(range(n_chunks)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |  least(chunk_id * 48 + 64, n) AS end_tok,
+        |  least(chunk_id * 48 + 64, n) - chunk_id * 48 AS n_tok
+        |FROM e""".stripMargin,
 
     // composition of the exact-dedup, minhash, lang-id and quality oracle
     // recipes over the same planted corpus — stage by stage

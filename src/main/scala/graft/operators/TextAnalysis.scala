@@ -107,4 +107,91 @@ object TextAnalysis {
     */
   def docFingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingles(text, n), s => sha2(s, 256)))
+
+  // ------------------------------------------------------- repetition filters
+
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1) over a
+    * text column:
+    *   - `dup_line_frac`: fraction of fixed 10-token "lines" that repeat an
+    *     earlier line (the corpus here is single-line, so lines are token
+    *     windows — the boundary discipline is what matters);
+    *   - `top_bigram_frac`: share of all word bigrams taken by the most
+    *     frequent one.
+    * Line stats are pure per-row expressions. The bigram mode genuinely
+    * needs a count per (id, bigram): one map-side-combinable aggregate
+    * keyed by the doc id plus a per-id max — both shuffles carry only
+    * (id, bigram, count), never document text, and the final join is
+    * id-to-id on co-partitioned aggregates. That is the 100 TB shape for
+    * a mode computation; a per-row O(n²) higher-order-function scan would
+    * burn quadratic CPU per long document instead.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = tokens(col(textCol))
+    val nLines = ceil(size(words) / 10.0).cast("long")
+    val lines = transform(sequence(lit(0L), nLines - 1),
+      j => array_join(slice(words, (j * 10 + 1).cast("int"), lit(10)), " "))
+    val base = df.select(col(idCol), words.as("w"), nLines.as("n_lines"),
+      size(array_distinct(lines)).cast("long").as("n_uniq_lines"))
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val top = base.select(col(idCol), explode(bigrams).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_c"), sum("c").as("n_bg"))
+    base.select(col(idCol), col("n_lines"),
+        r6((col("n_lines") - col("n_uniq_lines")).cast("double") / col("n_lines"))
+          .as("dup_line_frac"))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        r6(coalesce(col("top_c").cast("double") / col("n_bg"), lit(0.0)))
+          .as("top_bigram_frac"))
+  }
+
+  // ----------------------------------------------------------------- pii scrub
+
+  /** PII regex families. Chosen to mean the same thing under Java regex
+    * (Spark) and RE2 (DuckDB): no lookaround, no backreferences, ASCII
+    * word boundaries only.
+    */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction: replace emails / IPv4s / phone-shaped tokens with typed
+    * placeholder tags and count each family (counts are per family over the
+    * ORIGINAL text; replacement order email → ip → phone keeps the families
+    * non-overlapping). Pure per-row expressions — embarrassingly parallel,
+    * no shuffle, survives any scale-up untouched.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_email", regexp_count(t, lit(emailRe)).cast("int"))
+      .withColumn("n_ip", regexp_count(t, lit(ipv4Re)).cast("int"))
+      .withColumn("n_phone", regexp_count(t, lit(phoneRe)).cast("int"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>"))
+  }
+
+  // ------------------------------------------------------- sliding-window chunks
+
+  /** Sliding-window chunking: given a token-count column `nCol`, emit one
+    * row per (doc, chunk) for windows of `window` tokens advancing by
+    * `stride` (< window ⇒ overlapping context windows, the RAG/eval
+    * chunking discipline). Chunk count is closed-form — explode of a
+    * per-row sequence, no shuffle, no state.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, nCol: String,
+      window: Long, stride: Long): DataFrame = {
+    val n = col(nCol)
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(floor((n - (window - stride + 1)) / stride.toDouble).cast("long") + 1)
+    df.select(col(idCol), n.as("n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(col("chunk_id") * stride + window, col("n")).as("end_tok"))
+      .withColumn("n_tok", col("end_tok") - col("start_tok"))
+  }
 }
