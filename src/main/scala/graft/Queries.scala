@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{KvParse, SimHash}
+import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
 import graft.operators.{Dedup, Enrich, Multimodal, Parse, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
@@ -490,6 +490,31 @@ object Queries {
         TextAnalysis.tokenCounts(documents(s, dir))
           .select(col("doc_id"), col("bpe_est_tokens").cast("long").as("n")),
         "doc_id", "n", window = 64L, stride = 48L)),
+
+    // top-K vocabulary: global word frequencies under a deterministic
+    // (count DESC, word ASC) total order, K=25 — the tokenizer-training
+    // input. The groupBy gets map-side combine; the top-K plans as
+    // TakeOrderedAndProject (per-partition heap, driver merges K rows) —
+    // never a global sort shuffle.
+    "q_vocab_topk" -> ((s, dir) =>
+      documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(25)),
+
+    // stratified per-language sampling: a deterministic quota of 50 docs
+    // per lang stratum, ranked by a salted hash (the q_sample_split
+    // discipline plus quotas) — RNG-free, reshuffle-stable, one shuffle
+    // on the stratum key.
+    "q_stratified_sample" -> ((s, dir) => {
+      val h = Hashing.sha60(concat(lit("samp:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      documents(s, dir).select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select("doc_id", "lang", "rk")
+    }),
 
     // FLAGSHIP training-data curation pipeline, end to end: exact dedup →
     // MinHash-LSH near-dup removal (drop the higher id of each verified
@@ -1092,6 +1117,19 @@ object Queries {
         |  least(chunk_id * 48 + 64, n) AS end_tok,
         |  least(chunk_id * 48 + 64, n) - chunk_id * 48 AS n_tok
         |FROM e""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |      FROM documents) t
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${sha60Sql("'samp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS INTEGER) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 50""".stripMargin,
 
     // composition of the exact-dedup, minhash, lang-id and quality oracle
     // recipes over the same planted corpus — stage by stage
