@@ -57,10 +57,50 @@ object Bench {
       .filter(_.getString(0) == "all").map(_.getLong(2)).sum
   }
 
-  private def bestOf(iters: Int)(f: => Unit): Double =
-    (1 to iters).map { _ =>
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }.min
+  /** Hypervisor steal jiffies (field 8 of /proc/stat's cpu line); 0 where
+    * unavailable. The microVM's documented failure mode is bursty steal
+    * (identical runs 2.7s vs 71s), and it is directly observable here.
+    */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+")(8).toLong finally src.close()
+    } catch { case _: Throwable => 0L }
+
+  /** Minimum over timed iterations, steal-aware: run at least `itersMin`
+    * times, and keep going (up to `attemptsMax`) until `needClean`
+    * iterations saw hypervisor steal under 2% of machine capacity during
+    * their own window. Dirty iterations still feed the min (a dirty
+    * reading is a valid upper bound); the retry only buys more chances at
+    * a quiet window, so a burst covering one leg's whole initial window
+    * can't skew the N-vs-4N efficiency ratio the way it did in r2/r3
+    * dry-runs (recorded 0.675/0.786 for an engine that measures 0.82-0.93
+    * quiet).
+    */
+  /** `cores` scales the cleanliness bar to the measured job's allocation:
+    * machine-wide steal is compared against 5% of the job's own cores, not
+    * of the whole machine — 0.6 stolen cores is negligible for a 32-thread
+    * query run but is 15% of a 4-core scaling leg and 60% of a 1-core one.
+    */
+  private def robustMin(itersMin: Int, attemptsMax: Int, needClean: Int,
+      cores: Int = Runtime.getRuntime.availableProcessors())(
+      f: => Unit): Double = {
+    var clean = 0; var attempts = 0; var best = Double.MaxValue
+    while (attempts < itersMin || (clean < needClean && attempts < attemptsMax)) {
+      val s0 = stealJiffies(); val t0 = System.nanoTime()
+      f
+      val el = (System.nanoTime() - t0) / 1e9
+      val st = (stealJiffies() - s0) / 100.0
+      best = math.min(best, el)
+      if (st / el < 0.05 * cores) clean += 1
+      attempts += 1
+    }
+    best
+  }
+
+  private def bestOf(iters: Int, cores: Int = Runtime.getRuntime.availableProcessors())(
+      f: => Unit): Double =
+    robustMin(iters, iters * 3, needClean = 3, cores = cores)(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,14 +131,14 @@ object Bench {
     // steady-state a quiet machine reproduces.
     val queryIters = sys.env.getOrElse("SPARK_GRAFT_QUERY_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to queryIters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      var failed = false
+      val t = robustMin(queryIters, queryIters + 2, needClean = 2) {
+        try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None }
+          failed = true }
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      name -> (if (failed) -1.0 else t)
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     // materialize the deterministic transcript table once (untimed setup)
@@ -123,7 +163,7 @@ object Bench {
     def measure(cores: Int): Double = {
       val s = session(cores)
       e2eJob(s, turnsPath) // warm
-      val t = bestOf(iters)(e2eJob(s, turnsPath))
+      val t = bestOf(iters, cores)(e2eJob(s, turnsPath))
       s.stop()
       t
     }

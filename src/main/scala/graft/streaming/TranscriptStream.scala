@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.model.{MultilineSpec, Turn}
 import graft.operators.{Parse, Route, Segments}
@@ -11,9 +11,10 @@ import graft.operators.{Parse, Route, Segments}
   * batch pipeline supplies via resumable runs, expressed natively:
   * `readStream` → the same stateless parse/route stages → watermarked
   * windowed aggregates, plus a stateful multiline assembler via
-  * `flatMapGroupsWithState` whose carried state is exactly the FSM's open
+  * `transformWithState` whose carried state is exactly the FSM's open
   * buffer (the reference's MultilineReader.buf,
-  * internal/tailer/multline_reader.go:28).
+  * internal/tailer/multline_reader.go:28) plus a turn_idx-keyed pending
+  * map for out-of-order arrivals.
   */
 object TranscriptStream {
 
@@ -40,40 +41,29 @@ object TranscriptStream {
       .select(col("window.start").as("w_start"), col("tool"), col("n_calls"))
 
   /** Stateful multiline assembly over a stream of turns: one group per
-    * conversation; within each micro-batch the group's rows are sorted by
-    * turn_idx (cross-batch order is arrival order, as with a live tail).
-    * Completed records are emitted append-mode; the open buffer rides in
-    * GroupState until a later batch closes it — exactly the reference's
-    * "no flush until the record closes" semantics. No wall-clock flush:
-    * exactly-once, but an abandoned conversation never emits its tail —
-    * pair with [[assembleStreamIdleFlush]] when A2 semantics are wanted.
+    * conversation. Completed records are emitted append-mode; the open
+    * buffer rides in state until a later batch closes it — exactly the
+    * reference's "no flush until the record closes" semantics. No
+    * wall-clock flush: exactly-once, but an abandoned conversation never
+    * emits its tail — pair with [[assembleStreamIdleFlush]] when A2
+    * semantics are wanted.
     *
-    * OPERATING CONSTRAINT (sizing, not correctness): `it.toSeq.sortBy`
-    * materializes ONE conversation's rows from ONE micro-batch in task
-    * memory. At tail rates (the reference's regime — a poll interval of
-    * new lines per file) that is bytes-to-kilobytes. Do NOT replay a
-    * historical backfill through this path: a mega-conversation arriving
-    * in a single batch would buffer whole; backfills belong to the batch
-    * formulation ([[graft.operators.Segments.assembleFsm]]), whose
-    * iterator holds only the open buffer regardless of input size.
+    * SIZING: a micro-batch's rows are never materialized on the task heap.
+    * Out-of-order arrivals park in a RocksDB-backed `MapState` keyed by
+    * `turn_idx`, and the FSM consumes the contiguous prefix one row at a
+    * time — so even a historical backfill that lands a mega-conversation
+    * in a single batch streams through in O(open buffer) heap (the r2
+    * per-batch `toSeq.sortBy` constraint, closed structurally). Requires
+    * dense per-conversation `turn_idx` (the transcript model): a gap
+    * holds later rows in state until the gap row arrives, mirroring the
+    * reference's strictly sequential file reads, where gaps cannot exist
+    * (internal/tailer/tail_reader.go:159-215).
     */
   def assembleStream(turns: Dataset[Turn], spec: MultilineSpec): Dataset[SegRecord] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (conv: String, it: Iterator[Turn], state: GroupState[SegState]) =>
-          val st = state.getOption.getOrElse(SegState(Nil, 0, -1))
-          val fsm = new Segments.Fsm(spec)
-          fsm.restoreBuffer(st.buf)
-          val sorted = it.toSeq.filter(_.turn_idx > st.lastTurn).sortBy(_.turn_idx)
-          sorted.foreach(t => fsm.write(t.text))
-          val recs = fsm.drain()
-          val lastTurn = sorted.lastOption.map(_.turn_idx).getOrElse(st.lastTurn)
-          state.update(SegState(fsm.bufferLines.toList, st.nextIdx + recs.size, lastTurn))
-          recs.iterator.zipWithIndex.map { case (r, i) =>
-            SegRecord(conv, st.nextIdx + i, r)
-          }
-      }
+      .transformWithState(new SegmentProcessor(spec, None),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** [[assembleStream]] plus the reference's A2 idle-timeout flush
@@ -93,21 +83,27 @@ object TranscriptStream {
       idleTimeoutMs: Long): Dataset[SegRecord] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)
-      .transformWithState(new SegmentProcessor(spec, idleTimeoutMs),
+      .transformWithState(new SegmentProcessor(spec, Some(idleTimeoutMs)),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Per-conversation FSM as a StatefulProcessor: state = open buffer +
-    * record cursor (SegState, same as the GroupState flavor); one idle
-    * timer per key.
+    * record cursor (SegState) + a turn_idx-keyed pending map for
+    * out-of-order arrivals; one idle timer per key when `idleTimeoutMs`
+    * is set (requires `TimeMode.ProcessingTime`; pass `None` with
+    * `TimeMode.None` for the exactly-once no-flush flavor).
     */
-  final class SegmentProcessor(spec: MultilineSpec, idleTimeoutMs: Long)
+  final class SegmentProcessor(spec: MultilineSpec, idleTimeoutMs: Option[Long])
       extends StatefulProcessor[String, Turn, SegRecord] {
     @transient private var st: ValueState[SegState] = _
+    @transient private var pending: MapState[Int, String] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[SegState]("seg",
         Encoders.product[SegState], TTLConfig.NONE)
+      pending = getHandle.getMapState[Int, String]("pending",
+        Encoders.scalaInt, Encoders.STRING, TTLConfig.NONE)
+    }
 
     private def current: SegState =
       if (st.exists()) st.get() else SegState(Nil, 0, -1)
@@ -115,16 +111,27 @@ object TranscriptStream {
     override def handleInputRows(conv: String, it: Iterator[Turn],
         timerValues: TimerValues): Iterator[SegRecord] = {
       val cur = current
+      // park arrivals in state one row at a time (replays of committed
+      // turns are dropped), then feed the FSM the contiguous prefix —
+      // the task heap never holds the batch
+      it.foreach { t =>
+        if (t.turn_idx > cur.lastTurn) pending.updateValue(t.turn_idx, t.text)
+      }
       val fsm = new Segments.Fsm(spec)
       fsm.restoreBuffer(cur.buf)
-      val sorted = it.toSeq.filter(_.turn_idx > cur.lastTurn).sortBy(_.turn_idx)
-      sorted.foreach(t => fsm.write(t.text))
+      var last = cur.lastTurn
+      while (pending.containsKey(last + 1)) {
+        fsm.write(pending.getValue(last + 1))
+        pending.removeKey(last + 1)
+        last += 1
+      }
       val recs = fsm.drain()
-      val lastTurn = sorted.lastOption.map(_.turn_idx).getOrElse(cur.lastTurn)
-      st.update(SegState(fsm.bufferLines.toList, cur.nextIdx + recs.size, lastTurn))
-      // re-arm the idle timer: data arrived, so the clock restarts
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + idleTimeoutMs)
+      st.update(SegState(fsm.bufferLines.toList, cur.nextIdx + recs.size, last))
+      idleTimeoutMs.foreach { ms =>
+        // re-arm the idle timer: data arrived, so the clock restarts
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + ms)
+      }
       recs.iterator.zipWithIndex.map { case (r, i) =>
         SegRecord(conv, cur.nextIdx + i, r)
       }

@@ -52,6 +52,22 @@ object Plans {
     println("==== decontaminate shape (broadcast semi-join on 8-byte shingle hashes) ====")
     graft.Queries.queries("q_decontaminate")(spark, dir).explain("formatted")
 
+    println("==== pii scrub + chunk windows (pure expressions: zero Exchange expected) ====")
+    graft.Queries.queries("q_pii_scrub")(spark, dir).explain("formatted")
+    graft.Queries.queries("q_chunk_windows")(spark, dir).explain("formatted")
+
+    println("==== repetition (ids-only aggregate exchanges; line stats stay pure) ====")
+    graft.Queries.queries("q_repetition")(spark, dir).explain("formatted")
+
+    println("==== vocab top-k (TakeOrderedAndProject, no global sort shuffle) ====")
+    graft.Queries.queries("q_vocab_topk")(spark, dir).explain("formatted")
+
+    println("==== stratified sample (WindowGroupLimit pushdown both sides of the exchange) ====")
+    graft.Queries.queries("q_stratified_sample")(spark, dir).explain("formatted")
+
+    println("==== sequence packing (one window per shard, no global sort) ====")
+    graft.Queries.queries("q_pack_sequences")(spark, dir).explain("formatted")
+
     spark.stop()
   }
 }

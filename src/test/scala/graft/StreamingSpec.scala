@@ -46,6 +46,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order and gapped arrivals assemble in turn order via pending state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val spec = MultilineSpec(MultilineMode.HaltBefore, "^(INFO|CALL)")
+    val q = TranscriptStream.assembleStream(in.toDS(), spec)
+      .writeStream.format("memory").queryName("seg_ooo_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 arrives shuffled AND with a gap: turn 3 present, turn 2
+      // missing — the FSM must consume 0,1 only and hold 3 in pending
+      in.addData(turn("c1", 3, "INFO c"), turn("c1", 1, "detail 1"),
+        turn("c1", 0, "INFO a"))
+      q.processAllAvailable()
+      assert(spark.table("seg_ooo_out").count() == 0)
+
+      // the gap row arrives late; 2 then 3 drain from pending, closing two
+      // records ("INFO a\ndetail 1" at the INFO b header, "INFO b" at INFO c)
+      in.addData(turn("c1", 2, "INFO b"))
+      q.processAllAvailable()
+      val rows = spark.table("seg_ooo_out").as[(String, Int, String)].collect().toSet
+      assert(rows == Set(
+        ("c1", 0, "INFO a\ndetail 1"),
+        ("c1", 1, "INFO b")))
+    } finally q.stop()
+  }
+
   test("idle-timeout flush emits the open buffer as an at-least-once record") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
