@@ -453,6 +453,31 @@ object Queries {
           TextAnalysis.r6(col("n_hit").cast("double") / col("n_sh")).as("overlap"))
     }),
 
+    // decontamination behind a BLOOM pre-filter: when the benchmark index
+    // outgrows the broadcast threshold, a sketch-sized bloom of its 8-byte
+    // shingle hashes (fit by one distributed aggregate, embedded as a
+    // literal — Spark's own runtime-row-filter expressions) drops ~all
+    // clean shingles before the exact semi-join verify. No false
+    // negatives ⇒ bit-identical to q_decontaminate (same oracle).
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 300)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("prefix words "), col("text")).as("text"))
+      val corpus = d.unionByName(planted)
+      val bench = Dedup.shingleHashSets(
+          corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
+        .select(explode(col("hs")).as("h")).distinct()
+      val bf = graft.functions.Bloom.fit(bench, "h",
+        expectedItems = 200000L, numBits = 1600000L)
+      val train = Dedup.shingleHashSets(
+          corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
+        .select(col("id").as("doc_id"), explode(col("hs")).as("h"))
+      train.filter(graft.functions.Bloom.mightContain(bf, col("h")))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+    }),
+
     // Gopher-style repetition filters: duplicate-line fraction (10-token
     // lines) + top-bigram share. Docs with doc_id % 5 == 0 get the first
     // 10-token line planted three extra times so the dup metric provably
@@ -717,7 +742,12 @@ object Queries {
        |""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  // the bloom pre-filter variant is exact-equivalent by construction, so
+  // it shares q_decontaminate's oracle verbatim
+  lazy val oracleSql: Map[String, String] = oracleBase +
+    ("q_decontaminate_bloom" -> oracleBase("q_decontaminate"))
+
+  private val oracleBase: Map[String, String] = Map(
     "q_transcripts" -> (cte + "SELECT * FROM transcripts"),
 
     "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
