@@ -72,6 +72,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a backfill-sized conversation in one batch streams through the FSM") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val spec = MultilineSpec(MultilineMode.HaltBefore, "^INFO")
+    val q = TranscriptStream.assembleStream(in.toDS(), spec)
+      .writeStream.format("memory").queryName("seg_bulk_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 5000 turns of one conversation land in a single micro-batch —
+      // the r2 implementation buffered them all on the task heap; the
+      // MapState drain holds one row at a time. Every 5th turn opens a
+      // record, so 999 records close (the 1000th stays buffered).
+      val turns = (0 until 5000).map { i =>
+        turn("big", i, if (i % 5 == 0) s"INFO h${i / 5}" else s"d$i")
+      }
+      in.addData(scala.util.Random.shuffle(turns))
+      q.processAllAvailable()
+      val rows = spark.table("seg_bulk_out").as[(String, Int, String)].collect()
+      assert(rows.length == 999)
+      assert(rows.map(_._2).sorted.toSeq == (0 until 999))
+      // spot-check record reassembly in turn order despite shuffled input
+      val r0 = rows.find(_._2 == 0).get._3
+      assert(r0 == "INFO h0\nd1\nd2\nd3\nd4")
+    } finally q.stop()
+  }
+
   test("idle-timeout flush emits the open buffer as an at-least-once record") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
