@@ -33,6 +33,32 @@ object Queries {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Shared decontamination fixture (q_decontaminate{,_score,_bloom}):
+    * docs with doc_id % 97 == 0 play the benchmark; planted near-copies
+    * (+300000, "prefix words " prefix) guarantee hits at every sf.
+    * Returns (bench = distinct 8-gram hashes as `h`,
+    * trainSets = (id, hs) hashed-shingle sets of the non-benchmark corpus).
+    * The DuckDB twin of this plant lives in the corresponding oracle CTEs —
+    * change BOTH or the oracle gate fails.
+    */
+  private def decontFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 300)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(lit("prefix words "), col("text")).as("text"))
+    val corpus = d.unionByName(planted)
+    // hashed shingles end to end: tokens sha60-hashed once, 8-grams are
+    // integer folds, the join key is 8 bytes — no n-gram string is ever
+    // materialized (collision odds ~n²/2^31; the oracle hashes
+    // identically, so decisions cannot diverge)
+    val bench = Dedup.shingleHashSets(
+        corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
+      .select(explode(col("hs")).as("h")).distinct()
+    val trainSets = Dedup.shingleHashSets(
+        corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
+    (bench, trainSets)
+  }
+
   /** Synthetic auditd line per event — exercises the audit header parse. */
   private def auditLines(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id")
@@ -389,22 +415,9 @@ object Queries {
     // copies guarantee hits at every sf). Inverted-index semi-join — the
     // benchmark side is small and broadcast, one pass over the corpus.
     "q_decontaminate" -> ((s, dir) => {
-      val d = documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 300)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(lit("prefix words "), col("text")).as("text"))
-      val corpus = d.unionByName(planted)
-      // hashed shingles end to end: tokens sha60-hashed once, 8-grams are
-      // integer folds, the semi-join key is 8 bytes — no n-gram string is
-      // ever materialized (collision odds ~n²/2^31; the oracle hashes
-      // identically, so decisions cannot diverge)
-      val bench = Dedup.shingleHashSets(
-          corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
-        .select(explode(col("hs")).as("h")).distinct()
-      val train = Dedup.shingleHashSets(
-          corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
-        .select(col("id").as("doc_id"), explode(col("hs")).as("h"))
-      train.join(broadcast(bench), Seq("h"), "left_semi")
+      val (bench, trainSets) = decontFixture(s, dir)
+      trainSets.select(col("id").as("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left_semi")
         .select("doc_id").distinct()
     }),
 
@@ -435,17 +448,8 @@ object Queries {
     // form of q_decontaminate (flagging at a threshold is a filter on
     // this). Same broadcast inverted index, one corpus pass.
     "q_decontaminate_score" -> ((s, dir) => {
-      val d = documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 300)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(lit("prefix words "), col("text")).as("text"))
-      val corpus = d.unionByName(planted)
-      val bench = Dedup.shingleHashSets(
-          corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
-        .select(explode(col("hs")).as("h")).distinct()
-      val train = Dedup.shingleHashSets(
-          corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
-      train.select(col("id").as("doc_id"), size(col("hs")).as("n_sh"),
+      val (bench, trainSets) = decontFixture(s, dir)
+      trainSets.select(col("id").as("doc_id"), size(col("hs")).as("n_sh"),
           explode(col("hs")).as("h"))
         .join(broadcast(bench), Seq("h"), "left_semi")
         .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))
@@ -460,20 +464,15 @@ object Queries {
     // clean shingles before the exact semi-join verify. No false
     // negatives ⇒ bit-identical to q_decontaminate (same oracle).
     "q_decontaminate_bloom" -> ((s, dir) => {
-      val d = documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 300)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(lit("prefix words "), col("text")).as("text"))
-      val corpus = d.unionByName(planted)
-      val bench = Dedup.shingleHashSets(
-          corpus.filter(col("doc_id") % 97 === 0), "doc_id", "text", 8)
-        .select(explode(col("hs")).as("h")).distinct()
+      val (bench0, trainSets) = decontFixture(s, dir)
+      // the bench index is scanned by BOTH the bloom fit and the exact
+      // verify join — persist it once (at 100 TB this is "checkpoint the
+      // benchmark index", a few GB, built once per campaign)
+      val bench = bench0.persist()
       val bf = graft.functions.Bloom.fit(bench, "h",
         expectedItems = 200000L, numBits = 1600000L)
-      val train = Dedup.shingleHashSets(
-          corpus.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", 8)
-        .select(col("id").as("doc_id"), explode(col("hs")).as("h"))
-      train.filter(graft.functions.Bloom.mightContain(bf, col("h")))
+      trainSets.select(col("id").as("doc_id"), explode(col("hs")).as("h"))
+        .filter(graft.functions.Bloom.mightContain(bf, col("h")))
         .join(broadcast(bench), Seq("h"), "left_semi")
         .select("doc_id").distinct()
     }),
@@ -741,11 +740,6 @@ object Queries {
        |  FROM toks)
        |""".stripMargin
   }
-
-  // the bloom pre-filter variant is exact-equivalent by construction, so
-  // it shares q_decontaminate's oracle verbatim
-  lazy val oracleSql: Map[String, String] = oracleBase +
-    ("q_decontaminate_bloom" -> oracleBase("q_decontaminate"))
 
   private val oracleBase: Map[String, String] = Map(
     "q_transcripts" -> (cte + "SELECT * FROM transcripts"),
@@ -1273,6 +1267,12 @@ object Queries {
         |      THEN 1 ELSE 0 END AS is_new
         |    FROM events) a) b GROUP BY 1, 2""".stripMargin
   )
+
+  // the bloom pre-filter variant is exact-equivalent by construction, so
+  // it shares q_decontaminate's oracle verbatim (declared AFTER oracleBase:
+  // object-init order — see CLAUDE.md)
+  val oracleSql: Map[String, String] = oracleBase +
+    ("q_decontaminate_bloom" -> oracleBase("q_decontaminate"))
 
   /** Oracle body for the periodic-fixture FSM queries: `lineExpr` rebuilds
     * the synthetic line from turn_idx, `segExpr` is the closed-form record

@@ -52,12 +52,37 @@ final class LineageStore(spark: SparkSession, root: String,
     else fs.listStatus(rootPath).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("commit-")).sortBy(_.getName)
 
-  /** All committed entries as a DataFrame (LineageEntry schema). */
+  /** All committed entries as a DataFrame (LineageEntry schema).
+    *
+    * Schema evolution: commit dirs written before a column existed (e.g.
+    * `rowsFailed`, added after the first stores shipped) must stay
+    * readable — `mergeSchema` unions the per-file schemas, then any
+    * column still absent is backfilled with its type default and nulls
+    * from pre-column files coalesce to it, so resume against an old
+    * store never throws UNRESOLVED_COLUMN (or NPEs in `as[LineageEntry]`).
+    */
   def entriesDf(): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.types.{LongType, StringType}
     import spark.implicits._
+    val empty = spark.emptyDataset[LineageEntry].toDF()
     val dirs = commitDirs
-    if (dirs.isEmpty) spark.emptyDataset[LineageEntry].toDF()
-    else spark.read.parquet(dirs.map(_.toString): _*)
+    if (dirs.isEmpty) empty
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(_.toString): _*)
+      val normalized = empty.schema.map { f =>
+        val default = f.dataType match {
+          case LongType => lit(0L)
+          case StringType => lit("")
+          case _ => lit(null).cast(f.dataType)
+        }
+        if (raw.columns.contains(f.name))
+          coalesce(col(f.name).cast(f.dataType), default).as(f.name)
+        else default.as(f.name)
+      }
+      raw.select(normalized: _*)
+    }
   }
 
   /** Driver-side convenience view (resume logic, tests). The per-run
@@ -109,7 +134,8 @@ final class LineageStore(spark: SparkSession, root: String,
   private def compactIfNeeded(): Unit = {
     val dirs = commitDirs
     if (dirs.size <= maxCommitDirs) return
-    val merged = spark.read.parquet(dirs.map(_.toString): _*)
+    // entriesDf, not a raw read: normalizes old-schema dirs on the way in
+    val merged = entriesDf()
     writeCommit(merged, s"compact-${java.util.UUID.randomUUID().toString.take(8)}")
     dirs.foreach(p => fs.delete(p, true))
   }

@@ -148,7 +148,12 @@ object ConfigLoader {
     }
     def int(k: String, dflt: Int): Either[String, Int] = map.get(k) match {
       case None => Right(dflt)
-      case Some(I(v)) => Right(v.toInt)
+      case Some(I(v)) =>
+        // no silent Long→Int wrap: 2^32+1 must not become 1 (a 1-byte
+        // fingerprint prefix would alias distinct files as unchanged)
+        if (v < Int.MinValue || v > Int.MaxValue)
+          Left(s"$k: $v out of 32-bit integer range")
+        else Right(v.toInt)
       case Some(other) => Left(s"$k: expected integer, got $other")
     }
     def bool(k: String, dflt: Boolean): Either[String, Boolean] = map.get(k) match {
@@ -398,6 +403,12 @@ object ConfigLoader {
   /** Go-style duration: compound `<float><unit>` terms (ns, us, µs, ms, s,
     * m, h), e.g. "500ms", "1.5s", "1m30s" — time.ParseDuration's grammar
     * for the cases a config uses. Returns milliseconds.
+    *
+    * DOCUMENTED DIVERGENCE: the engine's clocks are millisecond-grained,
+    * so a POSITIVE sub-millisecond duration (legal under
+    * time.ParseDuration, e.g. "400us") rounds UP to 1ms instead of
+    * truncating to 0 — truncation would turn a valid config into a
+    * "must be > 0" validation error.
     */
   def parseDuration(s: String): Either[String, Long] = {
     val t = s.trim
@@ -408,6 +419,7 @@ object ConfigLoader {
       return Left(s"invalid duration '$s'")
     val unitMs = Map("ns" -> 1e-6, "us" -> 1e-3, "µs" -> 1e-3, "ms" -> 1.0,
       "s" -> 1000.0, "m" -> 60000.0, "h" -> 3600000.0)
-    Right(math.round(matches.map(m => m.group(1).toDouble * unitMs(m.group(2))).sum))
+    val raw = matches.map(m => m.group(1).toDouble * unitMs(m.group(2))).sum
+    Right(if (raw > 0.0) math.max(1L, math.round(raw)) else math.round(raw))
   }
 }

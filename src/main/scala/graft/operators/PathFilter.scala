@@ -77,22 +77,30 @@ object PathFilter {
           var j = i + 1
           val neg = j < n && pattern.charAt(j) == '^'
           if (neg) j += 1
-          val body = new StringBuilder
+          // body chars carry their escapedness: an escaped '-' is the
+          // LITERAL '-' in Go (getEsc strips the backslash before the
+          // range check), so it must re-escape to \- in the regex rather
+          // than survive as a range operator
+          val body = scala.collection.mutable.ArrayBuffer.empty[(Char, Boolean)]
           var closed = false
           while (j < n && !closed) {
             pattern.charAt(j) match {
               case ']' if body.nonEmpty => closed = true
               case '\\' =>
                 require(j + 1 < n, s"bad pattern (trailing backslash): $pattern")
-                body += pattern.charAt(j + 1)
+                body += ((pattern.charAt(j + 1), true))
                 j += 2
-              case ch => body += ch; j += 1
+              case ch => body += ((ch, false)); j += 1
             }
           }
           require(closed, s"bad pattern (unterminated class): $pattern")
-          val chars = body.toString
-            // keep ranges, escape regex-significant chars other than '-'
-            .flatMap(c => if (c == '-' || c.isLetterOrDigit) c.toString else "\\" + c)
+          val chars = body.iterator.map { case (c, escaped) =>
+            // keep unescaped '-' as a range operator; escape everything
+            // else that is regex-significant (incl. escaped '-')
+            if (c == '-' && !escaped) "-"
+            else if (c.isLetterOrDigit) c.toString
+            else "\\" + c
+          }.mkString
           sb.append(if (neg) s"[^$chars]" else s"[$chars]")
           i = j
         case c => sb.append(java.util.regex.Pattern.quote(c.toString))

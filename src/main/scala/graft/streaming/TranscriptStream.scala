@@ -57,7 +57,11 @@ object TranscriptStream {
     * dense per-conversation `turn_idx` (the transcript model): a gap
     * holds later rows in state until the gap row arrives, mirroring the
     * reference's strictly sequential file reads, where gaps cannot exist
-    * (internal/tailer/tail_reader.go:159-215).
+    * (internal/tailer/tail_reader.go:159-215). Feed this operator the
+    * RAW turn stream (filter/route AFTER assembly — the batch pipeline's
+    * order) so upstream filters can't manufacture gaps; when rows can
+    * genuinely go missing, use [[assembleStreamIdleFlush]], whose timeout
+    * drains gap-stranded rows instead of waiting forever.
     */
   def assembleStream(turns: Dataset[Turn], spec: MultilineSpec): Dataset[SegRecord] = {
     import turns.sparkSession.implicits._
@@ -139,13 +143,29 @@ object TranscriptStream {
 
     override def handleExpiredTimer(conv: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SegRecord] = {
+      // A2 flush: a conversation that went idle drains WHATEVER it holds —
+      // first any gap-stranded pending rows in turn order (accepting the
+      // gap: the reference's timeout flush emits partial records on the
+      // same reasoning, multline_reader.go:74-114), then the open buffer
+      // as a final, possibly partial, record. Without this, one lost row
+      // would park every later row of the conversation in state forever.
       val cur = current
-      if (cur.buf.isEmpty) Iterator.empty
+      val fsm = new Segments.Fsm(spec)
+      fsm.restoreBuffer(cur.buf)
+      val stranded = pending.keys().toArray.sorted
+      stranded.foreach { k => fsm.write(pending.getValue(k)); pending.removeKey(k) }
+      val closed = fsm.drain()
+      val tail = fsm.bufferLines
+      val recs = if (tail.nonEmpty) closed :+ tail.mkString("\n") else closed
+      if (recs.isEmpty) Iterator.empty
       else {
-        // A2 flush: emit the open buffer, advance the cursor — a line
-        // arriving later starts record nextIdx+1 (the at-least-once split)
-        st.update(SegState(Nil, cur.nextIdx + 1, cur.lastTurn))
-        Iterator.single(SegRecord(conv, cur.nextIdx, cur.buf.mkString("\n")))
+        val last = if (stranded.nonEmpty) stranded.max else cur.lastTurn
+        // a line arriving later starts a fresh record past the flush
+        // (the at-least-once split)
+        st.update(SegState(Nil, cur.nextIdx + recs.size, last))
+        recs.iterator.zipWithIndex.map { case (r, i) =>
+          SegRecord(conv, cur.nextIdx + i, r)
+        }
       }
     }
   }

@@ -206,7 +206,10 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(ConfigLoader.parseDuration("1.5s") == Right(1500L))
     assert(ConfigLoader.parseDuration("1m30s") == Right(90000L))
     assert(ConfigLoader.parseDuration("2h") == Right(7200000L))
-    assert(ConfigLoader.parseDuration("250us") == Right(0L))
+    // positive sub-ms durations round UP to the 1ms clock grain instead of
+    // truncating to an invalid 0 (documented divergence in the scaladoc)
+    assert(ConfigLoader.parseDuration("250us") == Right(1L))
+    assert(ConfigLoader.parseDuration("0s") == Right(0L))
     assert(ConfigLoader.parseDuration("10").isLeft)
     assert(ConfigLoader.parseDuration("ms").isLeft)
     assert(ConfigLoader.parseDuration("1s junk").isLeft)

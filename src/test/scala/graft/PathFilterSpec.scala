@@ -65,6 +65,12 @@ class PathFilterSpec extends AnyFunSuite {
     assert(m("a[\\]]b", "a]b") && !m("a[\\]]b", "a\\b"))
     assert(m("a[x\\]y]b", "a]b") && m("a[x\\]y]b", "ayb") && !m("a[x\\]y]b", "azb"))
     assert(m("f[\\^]g", "f^g") && !m("f[\\^]g", "fxg"))
+    // an ESCAPED '-' in a class is the literal '-' (Go strips the escape
+    // before the range check), never a range operator
+    assert(m("file[a\\-c].log", "filea.log") && m("file[a\\-c].log", "file-.log")
+      && m("file[a\\-c].log", "filec.log") && !m("file[a\\-c].log", "fileb.log"))
+    // unescaped '-' still forms a range
+    assert(m("file[a-c].log", "fileb.log") && !m("file[a-c].log", "file-.log"))
     intercept[IllegalArgumentException](PathFilter.globToRegex("bad["))
     intercept[IllegalArgumentException](PathFilter.globToRegex("bad[\\"))
   }

@@ -306,4 +306,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.prunedFiles == before.diff(keep))
     assert(lineage.readAll().map(_.file).distinct.toSet == keep.toSet)
   }
+
+  test("a lineage store written before the rowsFailed column stays readable") {
+    val root = tmp()
+    // hand-write a commit dir with the PRE-rowsFailed schema (7 columns)
+    spark.createDataFrame(Seq(
+      ("r1", 1L, "f1.parquet", "all", 10L, "h1", 123L)))
+      .toDF("runId", "snapshotId", "file", "sink", "rowsDelivered",
+        "contentHash", "committedAtMs")
+      .write.parquet(s"$root/lineage/commit-000001-old")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    // old rows read back with rowsFailed defaulted, not UNRESOLVED_COLUMN
+    val entries = lineage.readAll()
+    assert(entries.map(e => (e.file, e.rowsDelivered, e.rowsFailed)) ==
+      Seq(("f1.parquet", 10L, 0L)))
+    // a post-change commit mixes in cleanly and both generations survive
+    // a prune/compaction cycle through the normalized reader
+    lineage.commit(Seq(graft.checkpoint.LineageEntry(
+      "r2", 2L, "f2.parquet", "all", 5L, 1L, "h2", 456L)))
+    val mixed = lineage.readAll().map(e => (e.file, e.rowsFailed)).toSet
+    assert(mixed == Set(("f1.parquet", 0L), ("f2.parquet", 1L)))
+    val removed = lineage.pruneTo(Set("f2.parquet"))
+    assert(removed.map(_.file) == Seq("f1.parquet"))
+    assert(lineage.readAll().map(_.file) == Seq("f2.parquet"))
+  }
 }

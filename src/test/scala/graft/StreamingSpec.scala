@@ -138,6 +138,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idle-timeout flush rescues gap-stranded pending rows in turn order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val spec = MultilineSpec(MultilineMode.HaltBefore, "^(INFO|CALL)")
+    val q = TranscriptStream.assembleStreamIdleFlush(in.toDS(), spec, idleTimeoutMs = 300L)
+      .writeStream.format("memory").queryName("seg_gap_out")
+      .outputMode(OutputMode.Append).start()
+    def pollRows(atLeast: Int): Set[(String, Int, String)] = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var rows = Set.empty[(String, Int, String)]
+      while (rows.size < atLeast && System.nanoTime() < deadline) {
+        rows = spark.table("seg_gap_out").as[(String, Int, String)].collect().toSet
+        if (rows.size < atLeast) Thread.sleep(100L)
+      }
+      rows
+    }
+    try {
+      // turn 1 never arrives: 0 reaches the FSM, 2 parks in pending state.
+      // The idle timeout must drain the stranded row (accepting the gap)
+      // and flush "INFO a\ndetail 2" instead of stalling forever.
+      in.addData(turn("g1", 0, "INFO a"), turn("g1", 2, "detail 2"))
+      assert(pollRows(1) == Set(("g1", 0, "INFO a\ndetail 2")))
+    } finally q.stop()
+  }
+
   test("windowed tool usage with watermark over a streaming source") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
