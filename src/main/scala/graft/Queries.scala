@@ -526,6 +526,30 @@ object Queries {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(25)),
 
+    // TF-IDF top terms: per-document top-3 terms by tf·idf with a
+    // RATIONAL idf (N+1)/(df+1) — log-free because ln() is not
+    // correctly-rounded-guaranteed across engines, while IEEE ·/÷ are.
+    // Shape: two map-side-combinable aggregates, a broadcast join on the
+    // (small) term-frequency dimension, and a WindowGroupLimit-pushdown
+    // top-k per doc — the keyword-extraction stage of a curation pipeline.
+    "q_tfidf_topterms" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val nDocs = d.count() // model-sized driver scalar (like the IVF fit)
+      val tf = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val score = TextAnalysis.r6(
+        col("tf") * lit(nDocs + 1.0) / (col("df") + lit(1.0)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfq), Seq("term"))
+        .withColumn("score", score)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    }),
+
     // stratified per-language sampling: a deterministic quota of 50 docs
     // per lang stratum, ranked by a salted hash (the q_sample_split
     // discipline plus quotas) — RNG-free, reshuffle-stable, one shuffle
@@ -1147,6 +1171,26 @@ object Queries {
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
         |      FROM documents) t
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    // tf-idf: identical rational idf; the window ORDER BY repeats the
+    // rounded-score expression so tie-breaking cannot diverge from Spark's
+    // (r6(score) DESC, term) ordering
+    "q_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |        FROM documents) w
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df, score, rk FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    floor((tf.tf * (n.n + 1.0) / (dfq.df + 1.0)) * 1000000 + 0.5) / 1000000 AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY floor((tf.tf * (n.n + 1.0) / (dfq.df + 1.0)) * 1000000 + 0.5) / 1000000 DESC,
+        |        tf.term) AS INTEGER) AS rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n) t
+        |WHERE rk <= 3""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, rk FROM (
