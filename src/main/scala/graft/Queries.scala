@@ -594,6 +594,45 @@ object Queries {
         .select("doc_id", "pred_lang", "n_tokens", "quality_score")
     }),
 
+    // CAPSTONE curation pipeline: q_prep_pipeline's stages PLUS the
+    // round-3 operators composed end to end — exact dedup → MinHash-LSH
+    // near-dup drop → language gate → quality gate → Gopher repetition
+    // gate → deterministic hash split. A third plant (10 docs of one
+    // en-stopword 10-token line repeated 4×, unique per doc) passes the
+    // lang and quality gates and is provably removed by the repetition
+    // gate (dup_line_frac 0.75 > 0.2) at every sf.
+    "q_curate_full" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val nearDups = d.filter(col("doc_id") < 100 &&
+          size(split(lower(trim(col("text"))), "\\s+")) >= 12)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" tail tail")).as("text"))
+      val line = concat(lit("the a of and to in is that it u"),
+        col("doc_id").cast("string"))
+      val repeaty = d.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          trim(repeat(concat(line, lit(" ")), 4)).as("text"))
+      val corpus = d.unionByName(copies).unionByName(nearDups).unionByName(repeaty)
+      val uniq = Dedup.exactDeduped(corpus, "doc_id", "text").cache()
+      val pairs = Dedup.minhashLsh(uniq, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      val keep = uniq.join(pairs.select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val rep = TextAnalysis.repetition(keep, "doc_id", "text")
+      val h = Hashing.sha60(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+      TextAnalysis.quality(keep)
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .join(rep, Seq("doc_id"))
+        .filter(col("pred_lang") === "en" && col("quality_score") >= 0.4 &&
+          col("dup_line_frac") <= 0.2 && col("top_bigram_frac") <= 0.2)
+        .select(col("doc_id"), col("pred_lang"), col("quality_score"),
+          col("dup_line_frac"), col("top_bigram_frac"),
+          when(h < 980, "train").when(h < 990, "val").otherwise("test").as("split"))
+    }),
+
     // sessionization over the events stream table (gap > 30 min)
     "q_events_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1252,6 +1291,82 @@ object Queries {
          |  FROM sc)
          |SELECT doc_id, pred_lang, n_tokens, quality_score
          |FROM feats WHERE pred_lang = 'en' AND quality_score >= 0.4""".stripMargin
+    },
+
+    // capstone: the prep-pipeline recipe + the repetition-stat and
+    // hash-split recipes composed over the kept set, with the third
+    // (repeated-line) plant mirrored in the corpus CTE
+    "q_curate_full" -> {
+      val hits = TextAnalysis.stopwords.map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(t, x -> list_contains($list, x))) AS h_$l"
+      }.mkString(",\n    ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+         |  UNION ALL SELECT doc_id + 100000, text || ' tail tail' FROM documents
+         |    WHERE doc_id < 100 AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 12
+         |  UNION ALL SELECT doc_id + 300000,
+         |    trim(repeat('the a of and to in is that it u' || CAST(doc_id AS VARCHAR) || ' ', 4))
+         |    FROM documents WHERE doc_id >= 30 AND doc_id < 40),
+         |uniq AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM corpus) u WHERE rn = 1),
+         |hsh AS (SELECT id, hs FROM ${hashedShinglesSql("uniq", 3)} hx),
+         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsh),
+         |bands AS (SELECT id, b AS band,
+         |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
+         |  FROM sigs, range(4) t(b)),
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT c.a, c.b, len(list_intersect(da.hs, db.hs)) AS inter,
+         |           len(da.hs) AS sza, len(db.hs) AS szb
+         |    FROM cand c JOIN hsh da ON da.id = c.a JOIN hsh db ON db.id = c.b) v
+         |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6),
+         |keep AS (
+         |  SELECT u.doc_id, u.text FROM uniq u
+         |  WHERE u.doc_id NOT IN (SELECT DISTINCT b FROM pairs)),
+         |toks AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM keep),
+         |sc AS (SELECT doc_id, text, t,
+         |    $hits
+         |  FROM toks),
+         |feats AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'unknown'
+         |         WHEN h_en = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+         |         WHEN h_es = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+         |         WHEN h_de = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+         |         WHEN h_fr = greatest(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang,
+         |    floor((CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |      least(1.0, len(t) / 64.0) * 0.5
+         |      + least(1.0, (floor((CASE WHEN len(t) > 0 THEN CAST(h_en AS DOUBLE) / len(t) ELSE 0.0 END) * 1000000 + 0.5) / 1000000) * 4) * 0.3
+         |      + (1.0 - least(1.0, (floor((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000) * 5)) * 0.2 END) * 1000000 + 0.5) / 1000000 AS quality_score
+         |  FROM sc),
+         |ln2 AS (SELECT doc_id, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n_lines,
+         |         CAST(len(list_distinct([array_to_string(t[(j*10+1):(j*10+10)], ' ')
+         |           FOR j IN range(CAST(ceil(len(t) / 10.0) AS BIGINT))])) AS BIGINT) AS n_uniq
+         |       FROM toks),
+         |bgi AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         |bgc AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, count(*) AS c
+         |        FROM bgi GROUP BY 1, 2),
+         |bgm AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgc GROUP BY 1),
+         |rep AS (SELECT l.doc_id,
+         |    floor((CAST(l.n_lines - l.n_uniq AS DOUBLE) / l.n_lines) * 1000000 + 0.5) / 1000000 AS dup_line_frac,
+         |    floor(coalesce(CAST(m.top_c AS DOUBLE) / m.n_bg, 0.0) * 1000000 + 0.5) / 1000000 AS top_bigram_frac
+         |  FROM ln2 l LEFT JOIN bgm m ON l.doc_id = m.doc_id)
+         |SELECT doc_id, pred_lang, quality_score, dup_line_frac, top_bigram_frac,
+         |  CASE WHEN hsplit < 980 THEN 'train' WHEN hsplit < 990 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT f.doc_id, f.pred_lang, f.quality_score, r.dup_line_frac, r.top_bigram_frac,
+         |    (${sha60Sql("'split:' || CAST(f.doc_id AS VARCHAR)")}) % 1000 AS hsplit
+         |  FROM feats f JOIN rep r ON f.doc_id = r.doc_id) z
+         |WHERE pred_lang = 'en' AND quality_score >= 0.4
+         |  AND dup_line_frac <= 0.2 AND top_bigram_frac <= 0.2""".stripMargin
     },
 
     "q_lang_id" -> (langCte +
