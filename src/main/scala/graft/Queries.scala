@@ -526,6 +526,33 @@ object Queries {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(25)),
 
+    // embedding OUTLIER scoring: per-label centroid (one map-side-
+    // combinable (label, dim) aggregate; r6-rounded means for cross-engine
+    // bit-stability), then cosine-to-own-centroid as a PURE PROJECTION
+    // over the literal centroid matrix — the IVF-assignment discipline:
+    // after the fit, scoring shuffles nothing. Emits each label's 5 least
+    // central vectors (the "drop far-from-centroid docs" curation gate).
+    "q_emb_outlier" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          Similarity.toDoubleVec(col("embedding")).as("v"))
+      val nLabels = 10
+      val fit = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(TextAnalysis.r6(avg(col("x"))).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val cents: Seq[Seq[Double]] = (0 until nLabels).map(g =>
+        fit.filter(_._1 == g).sortBy(_._2).map(_._3).toSeq)
+      val cv = element_at(typedlit(cents), col("label") + 1)
+      val cos = TextAnalysis.r6(Similarity.cosine(col("v"), cv,
+        Similarity.l2norm(col("v")), Similarity.l2norm(cv)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("cos_centroid").asc, col("vec_id"))
+      e.withColumn("cos_centroid", cos)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("vec_id", "label", "cos_centroid", "rk")
+    }),
+
     // TF-IDF top terms: per-document top-3 terms by tf·idf with a
     // RATIONAL idf (N+1)/(df+1) — log-free because ln() is not
     // correctly-rounded-guaranteed across engines, while IEEE ·/÷ are.
@@ -1210,6 +1237,26 @@ object Queries {
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
         |      FROM documents) t
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    // embedding outlier: identical r6 per-(label,dim) means; dims pair by
+    // index (Spark 0-based posexplode vs DuckDB 1-based v[i], both in dim
+    // order); dot/norm via list_dot_product == Spark's ordered fold
+    "q_emb_outlier" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT label, i, v[i] AS x FROM e, range(1, 65) u(i)),
+        |cent AS (SELECT label, i, floor(avg(x) * 1000000 + 0.5) / 1000000 AS c
+        |         FROM d GROUP BY 1, 2),
+        |cv AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label,
+        |    floor((list_dot_product(e.v, cv.cvec)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cvec, cv.cvec))))
+        |      * 1000000 + 0.5) / 1000000 AS cos_centroid
+        |  FROM e JOIN cv USING (label))
+        |SELECT vec_id, label, cos_centroid, rk FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY cos_centroid ASC, vec_id) AS INTEGER) AS rk
+        |  FROM sc) t
+        |WHERE rk <= 5""".stripMargin,
 
     // tf-idf: identical rational idf; the window ORDER BY repeats the
     // rounded-score expression so tie-breaking cannot diverge from Spark's
