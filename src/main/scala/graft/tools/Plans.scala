@@ -68,6 +68,18 @@ object Plans {
     println("==== sequence packing (one window per shard, no global sort) ====")
     graft.Queries.queries("q_pack_sequences")(spark, dir).explain("formatted")
 
+    println("==== tf-idf top terms (broadcast df dimension + WindowGroupLimit top-3) ====")
+    graft.Queries.queries("q_tfidf_topterms")(spark, dir).explain("formatted")
+
+    println("==== embedding outlier (pure-projection scoring; one window exchange) ====")
+    graft.Queries.queries("q_emb_outlier")(spark, dir).explain("formatted")
+
+    println("==== bloom decontamination (constant-sketch pre-filter + exact semi-join) ====")
+    graft.Queries.queries("q_decontaminate_bloom")(spark, dir).explain("formatted")
+
+    println("==== capstone curation pipeline (six stages, one plan) ====")
+    graft.Queries.queries("q_curate_full")(spark, dir).explain("formatted")
+
     spark.stop()
   }
 }
