@@ -42,6 +42,45 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup against a persisted hash store — the growing-
+    * corpus campaign discipline: each batch is deduped within itself, then
+    * anti-joined against every content hash any earlier batch committed,
+    * and the survivors' hashes are committed back atomically (temp dir +
+    * rename, the LineageStore pattern) so a crash mid-commit never leaves
+    * a partially-visible batch and a replay of the same batch returns
+    * nothing new. The store holds ONE 8-byte sha60 per distinct document
+    * ever seen — at 100 TB that is a few GB of longs, the natural build
+    * side of the anti-join; batches shuffle on the hash only.
+    *
+    * Reference anchor: freader's offset store makes re-reads of committed
+    * bytes no-ops across restarts (internal/store/sqlite_store.go:104-119);
+    * this is the corpus-level analogue for content instead of offsets.
+    */
+  def incrementalExact(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("seen-")).map(_.toString)
+    val hashed = exactDeduped(df, idCol, textCol)
+      .withColumn("content_h60", Hashing.sha60(col(textCol)))
+    val fresh = (if (dirs.isEmpty) hashed
+      else hashed.join(spark.read.parquet(dirs: _*),
+        Seq("content_h60"), "left_anti")).cache()
+    if (!fresh.isEmpty) {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new Path(root, s"_tmp-$id")
+      fresh.select("content_h60").write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(tmp, new Path(root, s"seen-$id")),
+        "dedup store commit rename failed")
+    }
+    fresh.drop("content_h60")
+  }
+
   /** Distinct shingles per doc (n-gram sets for Jaccard) — STRING form,
     * the exact ground-truth representation ([[ngramJaccard]]).
     */

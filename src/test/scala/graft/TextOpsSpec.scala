@@ -52,6 +52,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(residual == 0L)
   }
 
+  test("incremental exact dedup: cross-batch store, idempotent replay, crash-safe commit") {
+    import graft.operators.Dedup
+    val store = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.incrementalExact(b1, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r1 == Seq(1L, 2L)) // within-batch dup (3) dropped, min id kept
+    // batch 2: one repeat of batch 1, one new doc
+    val b2 = Seq((10L, "gamma delta"), (11L, "epsilon zeta")).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalExact(b2, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r2 == Seq(11L))
+    // replaying batch 2 (crash-and-retry) yields nothing new
+    val r3 = Dedup.incrementalExact(b2, "doc_id", "text", store)
+    assert(r3.isEmpty)
+    // a leftover _tmp dir (crash mid-commit) is never read as seen state
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .forall(_.getPath.getName.startsWith("seen-")))
+  }
+
   test("chunkWindows: chunks tile [0, n) with stride overlap and clamped tail") {
     val df = Seq((1L, 30L), (2L, 64L), (3L, 65L), (4L, 200L)).toDF("doc_id", "n")
     val out = TextAnalysis.chunkWindows(df, "doc_id", "n", window = 64L, stride = 48L)
