@@ -81,6 +81,67 @@ object Dedup {
     fresh.drop("content_h60")
   }
 
+  /** INCREMENTAL near-dup (MinHash-LSH) against a persisted signature
+    * store — [[incrementalExact]]'s counterpart for near-duplicates, the
+    * scale path of a growing-corpus campaign. Each batch is near-dedup'd
+    * within itself, its survivors' LSH band rows are equi-joined against
+    * every band any earlier batch committed (candidates only — never
+    * all-pairs), candidates are exact-Jaccard-verified against the stored
+    * hashed-shingle sets, and the survivors' (bands, sets) signatures are
+    * committed back as ONE atomically-renamed dir. A replay of the same
+    * batch matches its own stored signatures at Jaccard 1.0 and returns
+    * nothing. The store holds integer band rows + 8-byte shingle hashes —
+    * no document text ever persists or shuffles.
+    */
+  def incrementalMinhash(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seenDirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("seen-"))
+    // within-batch near-dup removal (keep the lower id of each pair)
+    val pairs = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand, threshold)
+    val localKeep = df.join(pairs.select(col("b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val sets = shingleHashSets(localKeep, idCol, textCol, n).cache()
+    val fresh =
+      if (seenDirs.isEmpty) localKeep
+      else {
+        val oldBands = spark.read.parquet(seenDirs.map(d => s"$d/bands"): _*)
+        val oldSets = spark.read.parquet(seenDirs.map(d => s"$d/sets"): _*)
+        val cand = bandRowsOf(sets, bands, rowsPerBand).as("l")
+          .join(oldBands.as("r"),
+            col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash"))
+          .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+        val matched = cand
+          .join(sets.select(col("id").as("a"), col("hs").as("hsa_")), "a")
+          .join(oldSets.select(col("id").as("b"), col("hs").as("hsb_")), "b")
+          .withColumn("inter", size(array_intersect(col("hsa_"), col("hsb_"))))
+          .filter(col("inter").cast("double") /
+            (size(col("hsa_")) + size(col("hsb_")) - col("inter")) >= threshold)
+          .select(col("a").as(idCol)).distinct()
+        localKeep.join(matched, Seq(idCol), "left_anti")
+      }
+    val freshC = fresh.cache()
+    if (!freshC.isEmpty) {
+      val freshSets = sets.join(freshC.select(col(idCol).as("id")),
+        Seq("id"), "left_semi").cache()
+      val commitId = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new Path(root, s"_tmp-$commitId")
+      bandRowsOf(freshSets, bands, rowsPerBand)
+        .write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
+      freshSets.write.mode("overwrite").parquet(new Path(tmp, "sets").toString)
+      require(fs.rename(tmp, new Path(root, s"seen-$commitId")),
+        "near-dup store commit rename failed")
+    }
+    freshC
+  }
+
   /** Distinct shingles per doc (n-gram sets for Jaccard) — STRING form,
     * the exact ground-truth representation ([[ngramJaccard]]).
     */
@@ -149,16 +210,23 @@ object Dedup {
     * candidate set, AQE handles bucket skew, and verification joins only
     * candidate ids back to the (integer) shingle sets.
     */
+  /** Band rows (id, band, bhash) of hashed-shingle sets — the LSH index
+    * rows shared by [[minhashLsh]] and [[incrementalMinhash]].
+    */
+  private def bandRowsOf(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = array((0 until k).map(i =>
+      array_min(transform(col("hs"), h => Hashing.mix(h, i)))): _*)
+    sets.select(col("id"), posexplode(
+      array((0 until bands).map(b => bandValue(sig, b, rowsPerBand)): _*))
+      .as(Seq("band", "bhash")))
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val k = bands * rowsPerBand
     val sets = shingleHashSets(df, idCol, textCol, n)
-    val sig = array((0 until k).map(i =>
-      array_min(transform(col("hs"), h => Hashing.mix(h, i)))): _*)
-    val bandRows = sets.select(col("id"), posexplode(
-      array((0 until bands).map(b => bandValue(sig, b, rowsPerBand)): _*))
-      .as(Seq("band", "bhash")))
+    val bandRows = bandRowsOf(sets, bands, rowsPerBand)
 
     val candidates = bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&

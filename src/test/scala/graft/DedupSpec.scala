@@ -80,6 +80,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((3L, 1003L)))
   }
 
+  test("incremental minhash: cross-batch near-dup store, idempotent replay") {
+    val store = java.nio.file.Files.createTempDirectory("graft-incmh").toString
+    // disjoint-vocabulary base docs (the shared-vocab `docs` fixture has
+    // genuine high-Jaccard pairs between UNplanted docs — its tails are
+    // offsets of one cyclic word progression), so only the plants pair up
+    val base = (0L until 20L).map(i =>
+      (i, (0 until 20).map(j => s"t${i}_$j").mkString(" ")))
+    val b1 = (base ++ Seq((1003L, base(3)._2), (1005L, base(5)._2 + " tail tail")))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.incrementalMinhash(b1, "doc_id", "text", storeDir = store,
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r1 == (0L until 20L).toSet)
+    // batch 2: a near-dup of stored doc 7 and one genuinely new doc
+    val batch2 = Seq(
+      (2007L, base(7)._2 + " tail tail"),
+      (2008L, (0 until 21).map(j => s"z$j").mkString(" "))).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalMinhash(batch2, "doc_id", "text", storeDir = store,
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r2 == Seq(2008L))
+    // replay (crash-and-retry): batch 2's survivor matches its own stored
+    // signatures at Jaccard 1.0 — nothing new
+    val r3 = Dedup.incrementalMinhash(batch2, "doc_id", "text", storeDir = store,
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+    assert(r3.isEmpty)
+  }
+
   test("embedding cosine near-dup finds planted duplicate vector") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
