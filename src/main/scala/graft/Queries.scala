@@ -672,6 +672,57 @@ object Queries {
         .withColumn("session_idx", sum(col("is_new")).over(wRun).cast("int"))
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    }),
+
+    // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
+    // fresh persisted hash store — batch A (even doc_ids) seeds the store,
+    // batch B (odd doc_ids + planted cross-batch copies of A content +
+    // planted within-batch dups) is deduped against it; the result is B's
+    // survivors. The oracle derives the same set analytically from A ∪ B
+    // (dedup semantics are batch-order-independent for the planted layout).
+    // A fresh store per invocation keeps the query a pure function — bench
+    // re-runs must not see the previous run's commits.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val a = d.filter(col("doc_id") % 2 === 0)
+      val b = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 20)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q-incexact").toString
+      Dedup.incrementalExact(a, "doc_id", "text", store)
+      Dedup.incrementalExact(b, "doc_id", "text", store)
+    }),
+
+    // INCREMENTAL MinHash near-dup, end to end: batch A (even doc_ids +
+    // one shingle-less short doc) seeds the signature store; batch B (odd
+    // doc_ids + planted near-dups of A content + planted exact copies of
+    // A content + shingle-less repeats) runs against it. Exercises all
+    // four stages — within-batch exact dedup, exact-store pre-filter
+    // (including the shingle-less path), within-batch LSH, cross-batch
+    // band match — and the DuckDB oracle re-derives every stage.
+    "q_neardup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 400)
+      val a = d.filter(col("doc_id") % 2 === 0)
+        .unionByName(Seq((900000L, "aa bb")).toDF("doc_id", "text"))
+      val b = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 60 &&
+            size(split(lower(trim(col("text"))), "\\s+")) >= 12)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(col("text"), lit(" tail tail")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 800000).as("doc_id"), col("text")))
+        .unionByName(Seq((900001L, "aa bb"), (900002L, "aa bb")).toDF("doc_id", "text"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q-incmh").toString
+      Dedup.incrementalMinhash(a, "doc_id", "text", store,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      Dedup.incrementalMinhash(b, "doc_id", "text", store,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
     })
   )
 
@@ -800,6 +851,28 @@ object Queries {
        | FROM (SELECT doc_id, [${sha60Sql("tk")} % ${Hashing.P} FOR tk IN t] AS ht
        |       FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM $src) ta) tb
        | WHERE len(ht) >= $n)""".stripMargin
+
+  /** DuckDB twin of one [[graft.operators.Dedup.incrementalMinhashStaged]]
+    * batch's shingle/signature/band derivation over a relation
+    * `src(doc_id, text)`: emits CTE bodies `hs<sfx>` (id, hs), `bn<sfx>`
+    * (id, band, bhash) and `vp<sfx>` (verified within-batch pairs a < b at
+    * `threshold`) for splicing into a WITH chain. Parameters pinned to the
+    * query's n=3, k=8 signatures, 4 bands × 2 rows (the q_dedup_minhash
+    * recipe, byte-identical hashing via [[Hashing.sha60Sql]]/`mixSql`).
+    */
+  private def mhBatchCtes(sfx: String, src: String, threshold: Double): String =
+    s"""hs$sfx AS (SELECT id, hs FROM ${hashedShinglesSql(src, 3)} hx$sfx),
+       |sig$sfx AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hs$sfx),
+       |bn$sfx AS (SELECT id, b AS band,
+       |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
+       |  FROM sig$sfx, range(4) tb$sfx(b)),
+       |vp$sfx AS (SELECT a, b FROM (
+       |    SELECT c.a, c.b, len(list_intersect(da.hs, db.hs)) AS inter,
+       |           len(da.hs) AS sza, len(db.hs) AS szb
+       |    FROM (SELECT DISTINCT l.id AS a, r.id AS b
+       |          FROM bn$sfx l JOIN bn$sfx r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id) c
+       |    JOIN hs$sfx da ON da.id = c.a JOIN hs$sfx db ON db.id = c.b) v$sfx
+       |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= $threshold)""".stripMargin
 
   private val toolDimJoin =
     s"JOIN ${Enrich.toolDimSql} USING (tool)"
@@ -1025,6 +1098,54 @@ object Queries {
          |         len(da.hs) AS sza, len(db.hs) AS szb
          |  FROM cand c JOIN hsh da ON da.id = c.a JOIN hsh db ON db.id = c.b) v
          |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6""".stripMargin),
+
+    // incremental exact dedup: B's survivors = B deduped within itself
+    // (lowest id per content), minus any content batch A committed — the
+    // same sha60 store key the engine anti-joins on
+    "q_dedup_incremental" ->
+      s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 400000, text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 40
+         |  UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id < 20),
+         |bex AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM b0) tx WHERE rn = 1)
+         |SELECT doc_id, text FROM bex
+         |WHERE ${sha60Sql("text")} NOT IN (SELECT ${sha60Sql("text")} FROM a)""".stripMargin,
+
+    // incremental MinHash near-dup: every stage of the two-batch campaign
+    // re-derived — batch A's within-batch dedup decides what the store
+    // holds; batch B is exact-filtered against A's survivors, LSH-deduped
+    // within itself, then band-matched + Jaccard-verified against A's
+    // stored signatures. Stage order mirrors incrementalMinhashStaged.
+    "q_neardup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |a0 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT 900000, 'aa bb'),
+         |b0 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 700000, text || ' tail tail' FROM d
+         |    WHERE doc_id % 2 = 0 AND doc_id < 60
+         |      AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 12
+         |  UNION ALL SELECT doc_id + 800000, text FROM d WHERE doc_id % 2 = 0 AND doc_id < 40
+         |  UNION ALL SELECT 900001, 'aa bb' UNION ALL SELECT 900002, 'aa bb'),
+         |aex AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM a0) t0 WHERE rn = 1),
+         |${mhBatchCtes("a", "aex", 0.6)},
+         |ak AS (SELECT doc_id, text FROM aex WHERE doc_id NOT IN (SELECT b FROM vpa)),
+         |bex AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM b0) t1 WHERE rn = 1),
+         |bun AS (SELECT doc_id, text FROM bex
+         |  WHERE ${sha60Sql("text")} NOT IN (SELECT ${sha60Sql("text")} FROM ak)),
+         |${mhBatchCtes("b", "bun", 0.6)},
+         |bk AS (SELECT doc_id, text FROM bun WHERE doc_id NOT IN (SELECT b FROM vpb)),
+         |cx AS (SELECT DISTINCT l.id AS a, r.id AS b
+         |  FROM bnb l JOIN bna r ON l.band = r.band AND l.bhash = r.bhash
+         |  WHERE l.id IN (SELECT doc_id FROM bk) AND r.id IN (SELECT doc_id FROM ak)),
+         |mx AS (SELECT DISTINCT vx.a FROM (
+         |    SELECT c.a, len(list_intersect(da.hs, db.hs)) AS inter,
+         |           len(da.hs) AS sza, len(db.hs) AS szb
+         |    FROM cx c JOIN hsb da ON da.id = c.a JOIN hsa db ON db.id = c.b) vx
+         |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6)
+         |SELECT doc_id, text FROM bk WHERE doc_id NOT IN (SELECT a FROM mx)""".stripMargin,
 
     // SimHash: identical 60-bit fingerprints re-derived from sha256 token
     // hashes; 15-bit quarter blocking, exact hamming verify — the same

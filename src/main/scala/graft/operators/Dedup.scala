@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -42,6 +43,56 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** A staged incremental-dedup batch: `fresh` is the batch's surviving
+    * rows (safe to consume any number of times — its plan reads only the
+    * store dirs that existed when it was staged, so it is deterministic
+    * even after `commit` publishes a new dir); `commit()` atomically
+    * publishes the survivors' state to the store, runs size-triggered
+    * compaction, and releases the per-batch caches. Staging lets a caller
+    * (e.g. [[graft.Pipeline]]) deliver the survivors first and commit the
+    * dedup store ONLY after its own delivery commit, so a crash-and-replay
+    * never loses rows to a store that committed ahead of the sink.
+    */
+  final case class IncrementalBatch(fresh: DataFrame, commit: () => Unit)
+
+  private def listSeen(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("seen-")).sortBy(_.getName.toString)
+
+  /** Atomic store publish: write under `_tmp-<id>`, one rename to
+    * `seen-<id>` — the LineageStore commit-point pattern. A crash mid-write
+    * leaves only an unread `_tmp-*` dir, never partial seen state.
+    */
+  private def commitSeen(fs: FileSystem, root: Path)(write: Path => Unit): Unit = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s"_tmp-$id")
+    write(tmp)
+    require(fs.rename(tmp, new Path(root, s"seen-$id")),
+      "dedup store commit rename failed")
+  }
+
+  /** Size-triggered compaction (the LineageStore pattern,
+    * checkpoint/Lineage.scala compactIfNeeded): a long campaign otherwise
+    * accretes one `seen-*` dir per batch and every subsequent run lists and
+    * unions ALL of them — O(batches) reader-side growth. When the dir count
+    * exceeds `maxDirs`, merge every current dir into ONE fresh commit and
+    * only then delete the sources; a crash in between leaves duplicate
+    * hashes (harmless — the consumer is an anti-join), never a hole.
+    *
+    * Runs at STAGE time, before the batch's read plans are built: a
+    * staged batch's `fresh` plan pins the store dirs it was staged
+    * against, so deleting those dirs at commit time would break a caller
+    * that (correctly) consumes `fresh` after `commit()`.
+    */
+  private def compactSeen(fs: FileSystem, root: Path, maxDirs: Int)(
+      merge: (Seq[Path], Path) => Unit): Unit = {
+    val dirs = listSeen(fs, root)
+    if (dirs.size <= maxDirs) return
+    commitSeen(fs, root)(tmp => merge(dirs, tmp))
+    dirs.foreach(p => fs.delete(p, true))
+  }
+
   /** INCREMENTAL exact dedup against a persisted hash store — the growing-
     * corpus campaign discipline: each batch is deduped within itself, then
     * anti-joined against every content hash any earlier batch committed,
@@ -50,76 +101,124 @@ object Dedup {
     * a partially-visible batch and a replay of the same batch returns
     * nothing new. The store holds ONE 8-byte sha60 per distinct document
     * ever seen — at 100 TB that is a few GB of longs, the natural build
-    * side of the anti-join; batches shuffle on the hash only.
+    * side of the anti-join; batches shuffle on the hash only — and is
+    * compacted back to one dir whenever it exceeds `maxSeenDirs` commits.
     *
     * Reference anchor: freader's offset store makes re-reads of committed
     * bytes no-ops across restarts (internal/store/sqlite_store.go:104-119);
     * this is the corpus-level analogue for content instead of offsets.
     */
   def incrementalExact(df: DataFrame, idCol: String, textCol: String,
-      storeDir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
+      storeDir: String, maxSeenDirs: Int = 16): DataFrame = {
+    val b = incrementalExactStaged(df, idCol, textCol, storeDir, maxSeenDirs)
+    b.commit()
+    b.fresh
+  }
+
+  /** [[incrementalExact]] with the store publish deferred to
+    * `commit()` — see [[IncrementalBatch]] for the crash-ordering contract.
+    */
+  def incrementalExactStaged(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String, maxSeenDirs: Int = 16): IncrementalBatch = {
     val spark = df.sparkSession
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("seen-")).map(_.toString)
+    compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
+      spark.read.parquet(old.map(_.toString): _*).distinct()
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    val dirs = listSeen(fs, root).map(_.toString)
     val hashed = exactDeduped(df, idCol, textCol)
       .withColumn("content_h60", Hashing.sha60(col(textCol)))
     val fresh = (if (dirs.isEmpty) hashed
       else hashed.join(spark.read.parquet(dirs: _*),
         Seq("content_h60"), "left_anti")).cache()
-    if (!fresh.isEmpty) {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new Path(root, s"_tmp-$id")
-      fresh.select("content_h60").write.mode("overwrite").parquet(tmp.toString)
-      require(fs.rename(tmp, new Path(root, s"seen-$id")),
-        "dedup store commit rename failed")
-    }
-    fresh.drop("content_h60")
+    val commit = () => try {
+      if (!fresh.isEmpty)
+        commitSeen(fs, root)(tmp =>
+          fresh.select("content_h60").write.mode("overwrite").parquet(tmp.toString))
+    } finally fresh.unpersist(false)
+    IncrementalBatch(fresh.drop("content_h60"), commit)
   }
 
   /** INCREMENTAL near-dup (MinHash-LSH) against a persisted signature
     * store — [[incrementalExact]]'s counterpart for near-duplicates, the
-    * scale path of a growing-corpus campaign. Each batch is near-dedup'd
-    * within itself, its survivors' LSH band rows are equi-joined against
-    * every band any earlier batch committed (candidates only — never
-    * all-pairs), candidates are exact-Jaccard-verified against the stored
-    * hashed-shingle sets, and the survivors' (bands, sets) signatures are
-    * committed back as ONE atomically-renamed dir. A replay of the same
-    * batch matches its own stored signatures at Jaccard 1.0 and returns
-    * nothing. The store holds integer band rows + 8-byte shingle hashes —
-    * no document text ever persists or shuffles.
+    * scale path of a growing-corpus campaign. Each batch is:
+    *
+    *  1. exact-deduped within itself (lowest id per content — also covers
+    *     docs too short to shingle, which the LSH path cannot see),
+    *  2. anti-joined against the store's `exact` component (one sha60 per
+    *     EVERY past survivor, shingled or not — this is what makes a
+    *     replay of any committed batch a guaranteed no-op, including
+    *     shingle-less docs),
+    *  3. near-dedup'd within itself (banded LSH candidates + exact-Jaccard
+    *     verification, keep the lower id of each verified pair),
+    *  4. its remaining docs' band rows equi-joined against every band any
+    *     earlier batch committed (candidates only — never all-pairs) and
+    *     candidates exact-Jaccard-verified against the stored
+    *     hashed-shingle sets.
+    *
+    * Survivors' `(bands, sets, exact)` state is committed as ONE
+    * atomically-renamed dir, and the store compacts back to one dir past
+    * `maxSeenDirs` commits. The store holds integer band rows + 8-byte
+    * shingle hashes + one sha60 per survivor — no document text ever
+    * persists or shuffles.
     */
   def incrementalMinhash(df: DataFrame, idCol: String, textCol: String,
       storeDir: String, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
-    import org.apache.hadoop.fs.Path
+      threshold: Double = 0.8, maxSeenDirs: Int = 16): DataFrame = {
+    val b = incrementalMinhashStaged(df, idCol, textCol, storeDir, n, bands,
+      rowsPerBand, threshold, maxSeenDirs)
+    b.commit()
+    b.fresh
+  }
+
+  /** [[incrementalMinhash]] with the store publish deferred to
+    * `commit()` — see [[IncrementalBatch]] for the crash-ordering contract.
+    */
+  def incrementalMinhashStaged(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8, maxSeenDirs: Int = 16): IncrementalBatch = {
     val spark = df.sparkSession
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seenDirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("seen-"))
-    // within-batch near-dup removal (keep the lower id of each pair)
-    val pairs = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand, threshold)
-    val localKeep = df.join(pairs.select(col("b").as(idCol)).distinct(),
+    compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
+      Seq("bands", "sets", "exact").foreach { part =>
+        val merged = spark.read.parquet(old.map(d => s"$d/$part"): _*)
+        (if (part == "exact") merged.distinct() else merged)
+          .write.mode("overwrite").parquet(new Path(tmp, part).toString)
+      }
+    }
+    val seenDirs = listSeen(fs, root)
+    // 1) within-batch exact dedup + 2) exact-store pre-filter: identical
+    // replays (and identical re-submissions) drop here, for EVERY doc —
+    // the shingle-less idempotency hole is closed structurally
+    val batch = exactDeduped(df, idCol, textCol)
+      .withColumn("__h60", Hashing.sha60(col(textCol)))
+    val unseen = (if (seenDirs.isEmpty) batch
+      else batch.join(
+        spark.read.parquet(seenDirs.map(d => s"$d/exact"): _*),
+        col("__h60") === col("content_h60"), "left_anti")).cache()
+    // 3) within-batch near-dup removal (keep the lower id of each pair)
+    val sets = shingleHashSets(unseen, idCol, textCol, n).cache()
+    val pairs = lshPairsFromSets(sets, bands, rowsPerBand, threshold)
+    val localKeep = unseen.join(pairs.select(col("b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
-    val sets = shingleHashSets(localKeep, idCol, textCol, n).cache()
-    val fresh =
+    // 4) cross-batch: survivors' bands vs every stored band, verified
+    // against the stored hashed-shingle sets — ids-only candidate shuffle
+    val fresh0 =
       if (seenDirs.isEmpty) localKeep
       else {
         val oldBands = spark.read.parquet(seenDirs.map(d => s"$d/bands"): _*)
         val oldSets = spark.read.parquet(seenDirs.map(d => s"$d/sets"): _*)
-        val cand = bandRowsOf(sets, bands, rowsPerBand).as("l")
+        val keepSets = sets.join(localKeep.select(col(idCol).as("id")),
+          Seq("id"), "left_semi")
+        val cand = bandRowsOf(keepSets, bands, rowsPerBand).as("l")
           .join(oldBands.as("r"),
             col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash"))
           .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
         val matched = cand
-          .join(sets.select(col("id").as("a"), col("hs").as("hsa_")), "a")
+          .join(keepSets.select(col("id").as("a"), col("hs").as("hsa_")), "a")
           .join(oldSets.select(col("id").as("b"), col("hs").as("hsb_")), "b")
           .withColumn("inter", size(array_intersect(col("hsa_"), col("hsb_"))))
           .filter(col("inter").cast("double") /
@@ -127,19 +226,23 @@ object Dedup {
           .select(col("a").as(idCol)).distinct()
         localKeep.join(matched, Seq(idCol), "left_anti")
       }
-    val freshC = fresh.cache()
-    if (!freshC.isEmpty) {
-      val freshSets = sets.join(freshC.select(col(idCol).as("id")),
-        Seq("id"), "left_semi").cache()
-      val commitId = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new Path(root, s"_tmp-$commitId")
-      bandRowsOf(freshSets, bands, rowsPerBand)
-        .write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
-      freshSets.write.mode("overwrite").parquet(new Path(tmp, "sets").toString)
-      require(fs.rename(tmp, new Path(root, s"seen-$commitId")),
-        "near-dup store commit rename failed")
+    val fresh = fresh0.cache()
+    val commit = () => try {
+      if (!fresh.isEmpty) {
+        val freshSets = sets.join(fresh.select(col(idCol).as("id")),
+          Seq("id"), "left_semi")
+        commitSeen(fs, root) { tmp =>
+          bandRowsOf(freshSets, bands, rowsPerBand)
+            .write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
+          freshSets.write.mode("overwrite").parquet(new Path(tmp, "sets").toString)
+          fresh.select(col("__h60").as("content_h60"))
+            .write.mode("overwrite").parquet(new Path(tmp, "exact").toString)
+        }
+      }
+    } finally {
+      fresh.unpersist(false); unseen.unpersist(false); sets.unpersist(false)
     }
-    freshC
+    IncrementalBatch(fresh.drop("__h60"), commit)
   }
 
   /** Distinct shingles per doc (n-gram sets for Jaccard) — STRING form,
@@ -224,8 +327,17 @@ object Dedup {
 
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
-    val sets = shingleHashSets(df, idCol, textCol, n)
+      threshold: Double = 0.8): DataFrame =
+    lshPairsFromSets(shingleHashSets(df, idCol, textCol, n), bands,
+      rowsPerBand, threshold)
+
+  /** Verified near-dup pairs (a < b) from precomputed hashed-shingle sets:
+    * banded candidates + exact-Jaccard verification of candidates only.
+    * Shared by [[minhashLsh]] and [[incrementalMinhashStaged]] (which
+    * builds `sets` once and reuses it for the cross-batch join).
+    */
+  private def lshPairsFromSets(sets: DataFrame, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     val bandRows = bandRowsOf(sets, bands, rowsPerBand)
 
     val candidates = bandRows.as("l").join(bandRows.as("r"),

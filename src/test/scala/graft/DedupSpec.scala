@@ -108,6 +108,54 @@ class DedupSpec extends AnyFunSuite {
     assert(r3.isEmpty)
   }
 
+  test("incremental minhash: shingle-less docs are exact-deduped and replay-idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("graft-incmh-short").toString
+    // every doc here is shorter than n=3 tokens, so the LSH path cannot
+    // see any of them — the exact component must carry the invariant
+    val b1 = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd")).toDF("doc_id", "text")
+    val r1 = Dedup.incrementalMinhash(b1, "doc_id", "text", storeDir = store,
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r1 == Set(1L, 3L)) // within-batch exact dup (2) dropped, min id kept
+    // replay of the same batch: survivors were committed (shingle-less
+    // included), so nothing comes back — the documented invariant
+    val r2 = Dedup.incrementalMinhash(b1, "doc_id", "text", storeDir = store,
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+    assert(r2.isEmpty)
+    // a later batch: one repeat of stored short content, one genuinely new
+    val b2 = Seq((10L, "aa bb"), (11L, "ee ff")).toDF("doc_id", "text")
+    val r3 = Dedup.incrementalMinhash(b2, "doc_id", "text", storeDir = store,
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r3 == Seq(11L))
+  }
+
+  test("incremental minhash: seen-dir count stays bounded by compaction") {
+    val store = java.nio.file.Files.createTempDirectory("graft-incmh-compact").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def seenDirs(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(store)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("seen-"))
+    for (k <- 0 until 8) {
+      val b = Seq((k.toLong, (0 until 10).map(j => s"c${k}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val r = Dedup.incrementalMinhash(b, "doc_id", "text", storeDir = store,
+          n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6, maxSeenDirs = 3)
+        .count()
+      assert(r == 1L, s"batch $k should be fresh")
+      // compaction runs at stage time, so the bound holds up to the one
+      // dir the batch itself just committed
+      assert(seenDirs().size <= 4, s"after batch $k: ${seenDirs()}")
+    }
+    // the compacted store still holds every batch: full replay returns nothing
+    val all = (0 until 8).map(k =>
+      (100L + k, (0 until 10).map(j => s"c${k}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalMinhash(all, "doc_id", "text", storeDir = store,
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6, maxSeenDirs = 3).isEmpty)
+  }
+
   test("embedding cosine near-dup finds planted duplicate vector") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)

@@ -75,6 +75,26 @@ class TextOpsSpec extends AnyFunSuite {
       .forall(_.getPath.getName.startsWith("seen-")))
   }
 
+  test("incremental exact dedup: seen-dir count stays bounded by compaction") {
+    import graft.operators.Dedup
+    val store = java.nio.file.Files.createTempDirectory("graft-incdedup-compact").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def seenDirs(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(store)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("seen-"))
+    for (k <- 0 until 8) {
+      val b = Seq((k.toLong, s"content $k")).toDF("doc_id", "text")
+      assert(Dedup.incrementalExact(b, "doc_id", "text", store, maxSeenDirs = 3)
+        .count() == 1L)
+      // stage-time compaction: bound holds up to the batch's own new dir
+      assert(seenDirs().size <= 4, s"after batch $k: ${seenDirs()}")
+    }
+    // the compacted store still holds every batch's content
+    val all = (0 until 8).map(k => (100L + k, s"content $k")).toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(all, "doc_id", "text", store, maxSeenDirs = 3).isEmpty)
+  }
+
   test("chunkWindows: chunks tile [0, n) with stride overlap and clamped tail") {
     val df = Seq((1L, 30L), (2L, 64L), (3L, 65L), (4L, 200L)).toDF("doc_id", "n")
     val out = TextAnalysis.chunkWindows(df, "doc_id", "n", window = 64L, stride = 48L)
