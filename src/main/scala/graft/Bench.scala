@@ -5,9 +5,17 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.{Enrich, Parse, Route}
 import graft.sources.Transcripts
 
-/** Benchmark main. Prints ONE JSON line:
+/** Benchmark main. Prints the result JSON line
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *    "scaling":{...}}
+  * TWICE for crash-robustness: once the moment the per-query phase
+  * finishes (`"scaling":null` — the insurance copy, flushed before the
+  * long scaling phase can hit the driver's time cap) and once complete at
+  * the end. A consumer takes the LAST parseable line; a shutdown hook
+  * additionally prints the most complete line if the JVM is terminated
+  * mid-run. The whole run degrades to fit `SPARK_GRAFT_BENCH_BUDGET_SEC`
+  * (default 1500): retry loops never start past the deadline and scaling
+  * rounds are cut when the remaining budget wouldn't cover them.
   *
   * Two parts:
   *
@@ -81,12 +89,21 @@ object Bench {
     * machine-wide steal is compared against 5% of the job's own cores, not
     * of the whole machine — 0.6 stolen cores is negligible for a 32-thread
     * query run but is 15% of a 4-core scaling leg and 60% of a 1-core one.
+    *
+    * `deadlineNanos` is the run-wide wall-clock budget (r3 post-mortem:
+    * the steal-aware retries escalated hardest exactly when the machine
+    * was slowest and the official bench hit the driver's time cap with
+    * nothing printed). Past the deadline no retry starts — but at least
+    * one iteration ALWAYS runs, so every query records an upper bound.
     */
   private def robustMin(itersMin: Int, attemptsMax: Int, needClean: Int,
-      cores: Int = Runtime.getRuntime.availableProcessors())(
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      deadlineNanos: Long = Long.MaxValue)(
       f: => Unit): Double = {
     var clean = 0; var attempts = 0; var best = Double.MaxValue
-    while (attempts < itersMin || (clean < needClean && attempts < attemptsMax)) {
+    def inBudget: Boolean = attempts == 0 || System.nanoTime() < deadlineNanos
+    while ((attempts < itersMin && inBudget) ||
+      (clean < needClean && attempts < attemptsMax && inBudget)) {
       val s0 = stealJiffies(); val t0 = System.nanoTime()
       f
       val el = (System.nanoTime() - t0) / 1e9
@@ -98,9 +115,10 @@ object Bench {
     best
   }
 
-  private def bestOf(iters: Int, cores: Int = Runtime.getRuntime.availableProcessors())(
-      f: => Unit): Double =
-    robustMin(iters, iters * 3, needClean = 3, cores = cores)(f)
+  private def bestOf(iters: Int, cores: Int = Runtime.getRuntime.availableProcessors(),
+      deadlineNanos: Long = Long.MaxValue)(f: => Unit): Double =
+    robustMin(iters, iters * 3, needClean = 3, cores = cores,
+      deadlineNanos = deadlineNanos)(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,6 +128,26 @@ object Bench {
     val hiCores = loCores * 4
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "5").toInt
     val turnsPath = sys.env.getOrElse("SPARK_GRAFT_TURNS_PATH", "/tmp/graft-bench-turns")
+
+    // Run-wide wall-clock budget. r3 post-mortem: the official run hit the
+    // driver's time cap (rc 124) and the single end-of-run println
+    // recorded NOTHING, so rounds 2-3 produced zero trustworthy official
+    // artifacts. Three defenses now: (a) a budget every retry loop
+    // respects (phases degrade instead of overrunning), (b) the
+    // per-query JSON line prints + flushes the moment part 1 finishes,
+    // (c) a shutdown hook prints the most complete line if the driver
+    // kills the JVM anyway.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
+    val startNanos = System.nanoTime()
+    val deadline = startNanos + budgetSec * 1000000000L
+    def remainingSec: Double = (deadline - System.nanoTime()) / 1e9
+    @volatile var latestJson: String = null
+    @volatile var printedFinal = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!printedFinal && latestJson != null) {
+        println(latestJson); System.out.flush()
+      }
+    }))
 
     // ---- part 1: per-query timings at the configured parallelism
     val spark = session(cpus)
@@ -130,9 +168,21 @@ object Bench {
     // official file had one query inflated 23×). The minimum is the
     // steady-state a quiet machine reproduces.
     val queryIters = sys.env.getOrElse("SPARK_GRAFT_QUERY_ITERS", "3").toInt
+    // bounded-verifier exemption (r3 VERDICT): q_dedup_ngram is the
+    // intentionally-quadratic ground-truth verifier (~11s at sf0.1) whose
+    // first reading is already a valid upper bound — retry escalation on
+    // it alone can eat a minute of budget for a query whose scale story
+    // is "don't run this at scale". One shot, one dirty-window retry max.
+    val singleShot = Set("q_dedup_ngram")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
-      val t = robustMin(queryIters, queryIters + 2, needClean = 2) {
+      def run(f: => Unit): Double =
+        if (singleShot(name))
+          robustMin(1, 2, needClean = 1, deadlineNanos = deadline)(f)
+        else
+          robustMin(queryIters, queryIters + 2, needClean = 2,
+            deadlineNanos = deadline)(f)
+      val t = run {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -141,12 +191,26 @@ object Bench {
       name -> (if (failed) -1.0 else t)
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def jsonLine(scaling: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scaling":$scaling}"""
+    // publish the per-query record NOW: if any later phase dies at the
+    // driver's cap, this line has already crossed stdout (r3 lost the
+    // whole artifact to a buffered end-of-run println)
+    latestJson = jsonLine("null")
+    println(latestJson); System.out.flush()
+
     // materialize the deterministic transcript table once (untimed setup)
     Transcripts.synthesize(spark, benchTurns / 50, 50, numPartitions = 64)
       .toDF().write.mode("overwrite").parquet(turnsPath)
-    // saturation datapoint at all machine cores
-    e2eJob(spark, turnsPath) // warm
-    val tMax = bestOf(math.max(2, iters - 1))(e2eJob(spark, turnsPath))
+    // saturation datapoint at all machine cores (warm pass only when the
+    // budget is comfortable — it buys steadiness, not correctness)
+    if (remainingSec > 180) e2eJob(spark, turnsPath)
+    val tMax = bestOf(math.max(2, iters - 1), deadlineNanos = deadline)(
+      e2eJob(spark, turnsPath))
     spark.stop()
 
     // ---- part 2: N vs 4N cores, steady state (min of iters).
@@ -154,21 +218,32 @@ object Bench {
     // windows, so a steal burst covering one leg's whole window skews it
     // even when each leg is min-of-iters (observed: one contaminated 4-core
     // window recorded 0.675 for an engine that measures 0.82+ quiet).
-    // Interleave `rounds` alternating sessions per leg and take the
-    // overall min, so each leg gets more than one chance at a quiet window.
-    // 3 rounds: the observed steal bursts last minutes, so two alternating
-    // windows per leg still occasionally both land dirty (r3 dry-run
-    // recorded 0.795 while quiet-window measurements sit at 0.82-0.93)
+    // Interleave up to `rounds` alternating sessions per leg and take the
+    // overall min, so each leg gets more than one chance at a quiet
+    // window — but ONLY while the budget allows another round: the first
+    // round always runs (there must be an efficiency figure), later
+    // rounds are skipped when the remaining budget would not cover a
+    // round of the same measured cost plus a publishing reserve.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     def measure(cores: Int): Double = {
       val s = session(cores)
-      e2eJob(s, turnsPath) // warm
-      val t = bestOf(iters, cores)(e2eJob(s, turnsPath))
+      if (remainingSec > 180) e2eJob(s, turnsPath) // warm when affordable
+      val t = bestOf(iters, cores, deadlineNanos = deadline)(e2eJob(s, turnsPath))
       s.stop()
       t
     }
-    val legs = (1 to rounds).flatMap(_ => Seq(hiCores -> measure(hiCores),
-      loCores -> measure(loCores)))
+    val legs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var round = 0
+    var lastRoundSec = 0.0
+    var continue = true
+    while (round < rounds && continue) {
+      val r0 = System.nanoTime()
+      legs += hiCores -> measure(hiCores)
+      legs += loCores -> measure(loCores)
+      lastRoundSec = (System.nanoTime() - r0) / 1e9
+      round += 1
+      continue = remainingSec > lastRoundSec * 1.2 + 30.0
+    }
     val tHi = legs.collect { case (c, t) if c == hiCores => t }.min
     val tLo = legs.collect { case (c, t) if c == loCores => t }.min
 
@@ -176,17 +251,16 @@ object Bench {
     val thrLo = benchTurns / tLo
     val efficiency = thrHi / (4.0 * thrLo)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
       f"""{"turns":$benchTurns,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
         f""""sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,""" +
         f""""rows_per_sec_lo":${thrLo.toLong},"rows_per_sec_hi":${thrHi.toLong},""" +
-        f""""efficiency":$efficiency%.3f,""" +
+        f""""efficiency":$efficiency%.3f,"rounds_run":$round,""" +
+        f""""budget_sec":$budgetSec,"wall_sec":${(System.nanoTime() - startNanos) / 1e9}%.1f,""" +
         f""""max_cores":$cpus,"max_cores_sec":$tMax%.3f,""" +
         f""""max_cores_rows_per_sec":${(benchTurns / tMax).toLong}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scaling":$scaling}""")
+    latestJson = jsonLine(scaling)
+    println(latestJson); System.out.flush()
+    printedFinal = true
   }
 }

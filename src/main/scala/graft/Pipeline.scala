@@ -178,13 +178,37 @@ object Pipeline {
       case None => src
     }
 
+    // Optional incremental content-dedup stage: rows whose text any
+    // earlier run delivered (exact — or near-dup under minhash) are
+    // dropped before routing. The stage is STAGED (operators/Dedup): the
+    // survivors flow on, but the store publishes only after the lineage
+    // commit below, so a crash-and-replay before that point re-derives the
+    // identical survivor set instead of losing it to an eagerly-committed
+    // store. (The converse window — lineage committed, store not — only
+    // risks a FUTURE batch re-delivering the same content once; replays of
+    // THIS batch are no-ops via the sink batch-dir check regardless.)
+    // The dedup id is a content-addressed stable key, not a row number:
+    // deterministic under reshuffles and re-runs.
+    val dedupStage = cfg.dedup.map { dd =>
+      val withId = turns.withColumn("__dedup_id",
+        concat_ws("#", col("src_file"), col("conv_id"),
+          col("turn_idx").cast("string")))
+      if (dd.mode == "minhash")
+        operators.Dedup.incrementalMinhashStaged(withId, "__dedup_id", "text",
+          dd.storeDir, dd.ngram, dd.bands, dd.rowsPerBand, dd.threshold)
+      else
+        operators.Dedup.incrementalExactStaged(withId, "__dedup_id", "text",
+          dd.storeDir)
+    }
+    val toRoute = dedupStage.map(_.fresh.drop("__dedup_id")).getOrElse(turns)
+
     // One logical fan-out; every sink and count derives from this plan.
     // NOT persisted: the source is a pinned snapshot of immutable files, so
     // recomputation is deterministic (consistency comes from snapshot
     // isolation, not caching) — and measured cache build+read here is
     // slower than re-running the codegen'd parse. For a non-snapshot
     // source, stage this projection to parquet once instead.
-    val routed = Route.routed(Enrich.enrich(Parse.parseTurns(turns)))
+    val routed = Route.routed(Enrich.enrich(Parse.parseTurns(toRoute)))
       .select(col("ts"), col("host"), col("route_key"), col("text"),
         col("conv_id"), col("turn_idx"), col("verb"), col("dur_ms"),
         col("status"), col("tool_family"), col("src_file"))
@@ -298,6 +322,9 @@ object Pipeline {
           coalesce(col("nf"), lit(0L)).as("rowsFailed"),
           col("contentHash"), lit(now).as("committedAtMs"))
       lineage.commitDf(entriesDf, runId)
+      // dedup store publishes strictly AFTER the lineage commit (the
+      // crash-ordering contract above); also releases the stage's caches
+      dedupStage.foreach(_.commit())
 
       // report totals come from the just-committed (small) lineage slice
       val perSink = lineage.entriesDf()

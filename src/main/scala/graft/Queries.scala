@@ -466,9 +466,13 @@ object Queries {
     "q_decontaminate_bloom" -> ((s, dir) => {
       val (bench0, trainSets) = decontFixture(s, dir)
       // the bench index is scanned by BOTH the bloom fit and the exact
-      // verify join — persist it once (at 100 TB this is "checkpoint the
-      // benchmark index", a few GB, built once per campaign)
-      val bench = bench0.persist()
+      // verify join — materialize it once (at 100 TB this is "checkpoint
+      // the benchmark index", a few GB, built once per campaign).
+      // localCheckpoint, NOT persist: the blocks are owned by the
+      // DataFrame and reclaimed by the ContextCleaner when it goes out of
+      // scope, so repeated constructions (bench min-of-N reruns) cannot
+      // accrete storage memory the way an unmatched persist() does
+      val bench = bench0.localCheckpoint(true)
       val bf = graft.functions.Bloom.fit(bench, "h",
         expectedItems = 200000L, numBits = 1600000L)
       trainSets.select(col("id").as("doc_id"), explode(col("hs")).as("h"))

@@ -24,6 +24,8 @@ import graft.model.{MultilineMode, MultilineSpec, PipelineConfig, SinkRule}
   *   collector.separator / include / exclude → same
   *   collector.salt-buckets / lineage-partitions / checkpoint-dir → same
   *   collector.multiline.{mode,start-pattern,condition-pattern,timeout,java}
+  *   collector.dedup.{mode,store-dir,threshold,ngram,bands,rows-per-band}
+  *     → PipelineConfig.dedup (engine extension, no reference analogue)
   *   sink.batch-size / sink.batch-interval → validated (lossless-batch
   *     divergence, COVERAGE.md §2.6: values checked, not used)
   *   sink.<name>.{type,include,exclude,reject-where} → SinkRule per section
@@ -50,6 +52,9 @@ object ConfigLoader {
     "collector.multiline.mode", "collector.multiline.start-pattern",
     "collector.multiline.condition-pattern", "collector.multiline.timeout",
     "collector.multiline.java",
+    "collector.dedup.mode", "collector.dedup.store-dir",
+    "collector.dedup.threshold", "collector.dedup.ngram",
+    "collector.dedup.bands", "collector.dedup.rows-per-band",
     "sink.batch-size", "sink.batch-interval",
     "prometheus.enable", "prometheus.addr")
 
@@ -60,7 +65,9 @@ object ConfigLoader {
   private val boolKeys = Set("collector.multiline.java", "prometheus.enable")
   private val intKeys = Set("collector.salt-buckets",
     "collector.lineage-partitions", "sink.batch-size",
-    "collector.workers", "collector.fingerprint-size")
+    "collector.workers", "collector.fingerprint-size",
+    "collector.dedup.ngram", "collector.dedup.bands",
+    "collector.dedup.rows-per-band")
 
   val sinkKinds: Set[String] =
     Set("console", "file", "clickhouse", "opensearch", "parquet")
@@ -178,6 +185,7 @@ object ConfigLoader {
       _ <- prometheusChecks(lk)
       _ <- batchChecks(lk)
       ml <- multiline(lk)
+      dd <- dedupStage(lk)
       sinks <- sinkRules(kvs, lk)
       labels <- Right(kvs.collect {
         case (k, S(v)) if k.startsWith("sink.labels.") =>
@@ -195,7 +203,30 @@ object ConfigLoader {
       multilineTimeoutMs = ml.map(_._2),
       fingerprintStrategy = fpStrategy,
       fingerprintSize = fpSize,
-      labels = labels)
+      labels = labels,
+      dedup = dd)
+  }
+
+  /** The `[collector.dedup]` sub-section — an engine-side extension (no
+    * reference analogue: freader re-delivers duplicate content by design;
+    * a training-data pipeline must not). Section present at all ⇒ mode and
+    * store-dir are required; the spec re-validates via
+    * [[graft.model.DedupStageSpec.validate]] (mode whitelist, threshold
+    * range) from PipelineConfig.validate.
+    */
+  private def dedupStage(lk: Lookup): Either[String, Option[graft.model.DedupStageSpec]] = {
+    val present = lk.map.keys.exists(_.startsWith("collector.dedup."))
+    if (!present) return Right(None)
+    for {
+      mode <- lk.str("collector.dedup.mode", "")
+      dir <- lk.str("collector.dedup.store-dir", "")
+      thrS <- lk.str("collector.dedup.threshold", "0.8")
+      thr <- thrS.toDoubleOption
+        .toRight(s"collector.dedup.threshold: invalid number '$thrS'")
+      ngram <- lk.int("collector.dedup.ngram", 3)
+      bands <- lk.int("collector.dedup.bands", 4)
+      rpb <- lk.int("collector.dedup.rows-per-band", 2)
+    } yield Some(graft.model.DedupStageSpec(mode, dir, thr, ngram, bands, rpb))
   }
 
   /** poll-interval > 0 and workers >= 1 when set — validated for parity;
@@ -357,7 +388,11 @@ object ConfigLoader {
     }
     else if (s == "true") Right(B(true))
     else if (s == "false") Right(B(false))
-    else s.toLongOption.map(I(_)).toRight(s"unparseable value '$s' (bare strings must be quoted)")
+    else s.toLongOption.map(I(_): Value)
+      // bare floats (e.g. dedup threshold = 0.8) carry as strings; the
+      // consumer parses — no float Value variant needed for one key
+      .orElse(s.toDoubleOption.map(_ => S(s): Value))
+      .toRight(s"unparseable value '$s' (bare strings must be quoted)")
 
   private def parseQuoted(s: String): Either[String, (String, String)] = {
     val sb = new StringBuilder

@@ -162,7 +162,17 @@ final case class PipelineConfig(
       * cmd/freader/config.go DefaultConfig; applied at delivery like the
       * ClickHouse/OpenSearch label maps).
       */
-    labels: Map[String, String] = Map.empty
+    labels: Map[String, String] = Map.empty,
+    /** Optional incremental content-dedup stage between assembly and
+      * delivery: rows whose content any earlier run delivered are dropped
+      * before routing, against the persisted store at
+      * [[DedupStageSpec.storeDir]]. An engine-side extension (the reference
+      * delivers duplicates; a training-data pipeline must not) — the
+      * campaign-loop product face of
+      * [[graft.operators.Dedup.incrementalExactStaged]] /
+      * `incrementalMinhashStaged`.
+      */
+    dedup: Option[DedupStageSpec] = None
 ) {
   def validate(
       isDir: String => Boolean = graft.operators.PathFilter.localIsDir
@@ -183,5 +193,32 @@ final case class PipelineConfig(
       graft.operators.PathFilter.validateRoots(include, isDir).isLeft)
       Left(graft.operators.PathFilter.validateRoots(include, isDir)
         .left.getOrElse(""))
+    else dedup match {
+      case Some(d) => d.validate().map(_ => this)
+      case None => Right(this)
+    }
+}
+
+/** Configuration of the optional incremental dedup stage
+  * ([[PipelineConfig.dedup]]): `exact` drops rows whose exact content an
+  * earlier run delivered (8-byte hash store); `minhash` additionally drops
+  * near-duplicates via banded MinHash-LSH signatures (candidates-only
+  * verification — the 100 TB path).
+  */
+final case class DedupStageSpec(
+    mode: String,
+    storeDir: String,
+    threshold: Double = 0.8,
+    ngram: Int = 3,
+    bands: Int = 4,
+    rowsPerBand: Int = 2) {
+  def validate(): Either[String, DedupStageSpec] =
+    if (!Set("exact", "minhash").contains(mode))
+      Left(s"unsupported dedup mode: $mode (exact | minhash)")
+    else if (storeDir.isEmpty) Left("dedup store-dir is required")
+    else if (threshold <= 0.0 || threshold > 1.0)
+      Left("dedup threshold must be in (0, 1]")
+    else if (ngram < 1 || bands < 1 || rowsPerBand < 1)
+      Left("dedup ngram/bands/rows-per-band must be >= 1")
     else Right(this)
 }

@@ -86,6 +86,10 @@ object PathFilter {
           while (j < n && !closed) {
             pattern.charAt(j) match {
               case ']' if body.nonEmpty => closed = true
+              case ']' =>
+                // Go's getEsc rejects a class whose first body char is an
+                // unescaped ']' (ErrBadPattern) — it must be written "[\]]"
+                require(false, s"bad pattern (unescaped ']' opens class body): $pattern")
               case '\\' =>
                 require(j + 1 < n, s"bad pattern (trailing backslash): $pattern")
                 body += ((pattern.charAt(j + 1), true))
@@ -94,6 +98,13 @@ object PathFilter {
             }
           }
           require(closed, s"bad pattern (unterminated class): $pattern")
+          // Go getEsc parity: an unescaped '-' may only appear BETWEEN two
+          // class chars (as the range operator) — leading/trailing forms
+          // are ErrBadPattern, not literals
+          Seq(body.headOption, body.lastOption).flatten.foreach { case (c, esc) =>
+            require(c != '-' || esc,
+              s"bad pattern (unescaped '-' at class boundary): $pattern")
+          }
           val chars = body.iterator.map { case (c, escaped) =>
             // keep unescaped '-' as a range operator; escape everything
             // else that is regex-significant (incl. escaped '-')

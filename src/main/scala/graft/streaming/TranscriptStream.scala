@@ -114,16 +114,26 @@ object TranscriptStream {
 
     override def handleInputRows(conv: String, it: Iterator[Turn],
         timerValues: TimerValues): Iterator[SegRecord] = {
+      val isNew = !st.exists()
       val cur = current
       // park arrivals in state one row at a time (replays of committed
       // turns are dropped), then feed the FSM the contiguous prefix —
       // the task heap never holds the batch
+      var minIdx = Int.MaxValue
       it.foreach { t =>
         if (t.turn_idx > cur.lastTurn) pending.updateValue(t.turn_idx, t.text)
+        if (t.turn_idx < minIdx) minIdx = t.turn_idx
       }
       val fsm = new Segments.Fsm(spec)
       fsm.restoreBuffer(cur.buf)
-      var last = cur.lastTurn
+      // a NEW conversation seeds its cursor from the lowest index it
+      // actually delivered first: a 1-based (or offset) stream emits
+      // instead of parking every row forever behind a turn 0 that will
+      // never come. Indexes below the seed arriving later are dropped as
+      // replays — the at-least-once contract, degrading loudly (records
+      // flow) rather than silently withholding all output.
+      var last =
+        if (isNew && minIdx != Int.MaxValue) minIdx - 1 else cur.lastTurn
       while (pending.containsKey(last + 1)) {
         fsm.write(pending.getValue(last + 1))
         pending.removeKey(last + 1)

@@ -201,6 +201,38 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.sinks.map(_.name) == Seq("all")) // labels is not a sink
   }
 
+  test("dedup stage: section loads with defaults, env override, validation") {
+    val cfg = loadText(
+      """[collector.dedup]
+        |mode = "minhash"
+        |store-dir = "/tmp/dstore"
+        |threshold = 0.7
+        |bands = 8
+        |""".stripMargin).toOption.get
+    val d = cfg.dedup.get
+    assert(d.mode == "minhash" && d.storeDir == "/tmp/dstore")
+    assert(d.threshold == 0.7 && d.bands == 8)
+    assert(d.ngram == 3 && d.rowsPerBand == 2) // defaults fill unset fields
+
+    // env overrides the file value (viper precedence)
+    val cfg2 = loadText(
+      "[collector.dedup]\nmode = \"minhash\"\nstore-dir = \"/tmp/d2\"\n",
+      env = Map("GRAFT_COLLECTOR_DEDUP_MODE" -> "exact")).toOption.get
+    assert(cfg2.dedup.get.mode == "exact")
+
+    // no section at all -> no stage
+    assert(loadText("[collector]\nseparator = \"\\n\"\n").toOption.get.dedup.isEmpty)
+
+    // validation matrix: mode whitelist, store-dir required, threshold range
+    assert(loadText("[collector.dedup]\nmode = \"fuzzy\"\nstore-dir = \"/tmp/x\"\n")
+      .swap.exists(_.contains("unsupported dedup mode")))
+    assert(loadText("[collector.dedup]\nmode = \"exact\"\n")
+      .swap.exists(_.contains("store-dir is required")))
+    assert(loadText(
+      "[collector.dedup]\nmode = \"exact\"\nstore-dir = \"/tmp/x\"\nthreshold = 1.5\n")
+      .swap.exists(_.contains("threshold")))
+  }
+
   test("duration grammar (Go time.ParseDuration subset)") {
     assert(ConfigLoader.parseDuration("500ms") == Right(500L))
     assert(ConfigLoader.parseDuration("1.5s") == Right(1500L))

@@ -73,6 +73,14 @@ class PathFilterSpec extends AnyFunSuite {
     assert(m("file[a-c].log", "fileb.log") && !m("file[a-c].log", "file-.log"))
     intercept[IllegalArgumentException](PathFilter.globToRegex("bad["))
     intercept[IllegalArgumentException](PathFilter.globToRegex("bad[\\"))
+    // Go getEsc: a class starting with an UNESCAPED ']' is ErrBadPattern —
+    // "a[]]b" does not parse as a class containing ']' (write "a[\]]b")
+    intercept[IllegalArgumentException](PathFilter.globToRegex("a[]]b"))
+    intercept[IllegalArgumentException](PathFilter.globToRegex("a[^]]b"))
+    // ... as is an unescaped '-' at either class boundary (range operator
+    // only BETWEEN chars; the literal needs the "[a\-c]" escape)
+    intercept[IllegalArgumentException](PathFilter.globToRegex("a[-b]c"))
+    intercept[IllegalArgumentException](PathFilter.globToRegex("a[b-]c"))
   }
 
   test("clean and glob-root derivation") {

@@ -71,6 +71,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(entries.filter(_.sink == "errors").map(_.rowsDelivered).sum == sinkRows(out, "errors"))
   }
 
+  test("config-driven incremental dedup: run 2 delivers only content run 1 did not") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val root = tmp()
+    val store = s"$root/dedupstore"
+    // the product face: the stage is switched on from a config FILE, the
+    // way a reference user would (README campaign walkthrough)
+    val cfgFile = s"$root/graft.toml"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgFile),
+      s"""[sink.all]
+         |type = "parquet"
+         |
+         |[collector.dedup]
+         |mode = "exact"
+         |store-dir = "$store"
+         |""".stripMargin.getBytes("UTF-8"))
+    val dcfg = graft.config.ConfigLoader.load(file = Some(cfgFile), env = Map.empty)
+      .fold(e => fail(s"config load failed: $e"), identity)
+    assert(dcfg.dedup.exists(d => d.mode == "exact" && d.storeDir == store))
+
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    val out = s"$root/sinks"
+    val batch1 = Transcripts.synthesize(spark, numConvs = 10, turnsPerConv = 10).toDF()
+    table.append(batch1)
+    val r1 = Pipeline.run(spark, table, lineage, dcfg, out)
+    assert(r1.perSinkDelivered("all") > 0)
+
+    // run 2's new file: exact copies of run-1 content under fresh conv ids
+    // PLUS five genuinely new conversations
+    val newConvs = Transcripts.synthesize(spark, numConvs = 15, turnsPerConv = 10).toDF()
+      .filter($"conv_id" >= "conv-00000010")
+    table.append(batch1.withColumn("conv_id", concat(lit("dup-"), $"conv_id"))
+      .unionByName(newConvs))
+    val r2 = Pipeline.run(spark, table, lineage, dcfg, out)
+
+    // control campaign with its own store: same run 1, but run 2 carries
+    // ONLY the new conversations — the duplicate rows must contribute zero
+    val root2 = tmp()
+    val ccfg = dcfg.copy(dedup = dcfg.dedup.map(_.copy(storeDir = s"$root2/store")))
+    val table2 = new SnapshotTable(spark, s"$root2/table")
+    val lineage2 = new LineageStore(spark, s"$root2/lineage")
+    table2.append(batch1)
+    Pipeline.run(spark, table2, lineage2, ccfg, s"$root2/sinks")
+    table2.append(newConvs)
+    val c2 = Pipeline.run(spark, table2, lineage2, ccfg, s"$root2/sinks")
+    assert(r2.perSinkDelivered("all") == c2.perSinkDelivered("all"))
+    assert(r2.perSinkDelivered("all") > 0)
+
+    // run 3: a file of nothing but already-delivered content — processed
+    // (lineage row written, file never retried) but zero rows delivered
+    table.append(batch1.withColumn("conv_id", concat(lit("dup2-"), $"conv_id")))
+    val r3 = Pipeline.run(spark, table, lineage, dcfg, out)
+    assert(r3.processedFiles.nonEmpty)
+    assert(r3.perSinkDelivered("all") == 0)
+    // and the campaign store committed state as seen-* dirs
+    val sp = new Path(store)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(sp).exists(_.getPath.getName.startsWith("seen-")))
+  }
+
   test("crash window: sinks written, lineage lost, NEW file appended — replay re-delivers nothing") {
     val root = tmp()
     val table = new SnapshotTable(spark, s"$root/table")

@@ -72,6 +72,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a 1-based (non-zero-indexed) stream emits from its first-seen index") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val spec = MultilineSpec(MultilineMode.HaltBefore, "^(INFO|CALL)")
+    val q = TranscriptStream.assembleStream(in.toDS(), spec)
+      .writeStream.format("memory").queryName("seg_onebased_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the conversation's indexes start at 1 — with a hard 0-based cursor
+      // every row would park in pending forever; the seed makes it flow
+      in.addData(turn("c1", 1, "INFO a"), turn("c1", 2, "detail 1"))
+      q.processAllAvailable()
+      in.addData(turn("c1", 3, "INFO b"), turn("c1", 4, "detail 2"))
+      q.processAllAvailable()
+      val rows = spark.table("seg_onebased_out")
+        .as[(String, Int, String)].collect().toSet
+      assert(rows == Set(("c1", 0, "INFO a\ndetail 1")))
+    } finally q.stop()
+  }
+
   test("a backfill-sized conversation in one batch streams through the FSM") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
