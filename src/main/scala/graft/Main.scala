@@ -55,8 +55,21 @@ object Main {
             SinkRule("errors", include = Seq("status=err")),
             SinkRule("clean", exclude = Seq("status=err", "INFO"))))
         }
+        // optional /metrics endpoint (reference main.go:69-84): starts
+        // before the run like the daemon, serves the report's counters
+        // after it; GRAFT_METRICS_LINGER_MS holds the process open for a
+        // scrape window before the batch exits (the daemon never exits —
+        // the one structural difference)
+        @volatile var metricsState = graft.metrics.Metrics.State()
+        val stopMetrics = cfg.prometheusAddr.map { addr =>
+          val (port, stop) = graft.metrics.Metrics.serve(addr,
+            () => graft.metrics.Metrics.renderText(metricsState))
+          System.err.println(s"[graft] serving /metrics on port $port")
+          stop
+        }
         val report = Pipeline.run(spark, new SnapshotTable(spark, tableRoot),
           new LineageStore(spark, lineageRoot), cfg, outDir)
+        metricsState = metricsState.add(report)
         val sinks = report.perSinkDelivered
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         val failed = report.perSinkFailed
@@ -67,6 +80,10 @@ object Main {
           s""""pruned":${report.prunedFiles.size},""" +
           s""""input_rows":${report.inputRows},"blank_rows":${report.blankRows},""" +
           s""""delivered":$sinks,"failed":$failed}""")
+        stopMetrics.foreach { stop =>
+          Thread.sleep(sys.env.getOrElse("GRAFT_METRICS_LINGER_MS", "0").toLong)
+          stop()
+        }
 
       case other =>
         System.err.println(s"usage: graft.Main seed <table> <convs> <turns> [megaTurns] | " +

@@ -57,7 +57,16 @@ object Pipeline {
         * never silently undercount, because attempted = delivered + failed
         * is checkable per (file, sink) in the lineage rows.
         */
-      perSinkFailed: Map[String, Long] = Map.empty)
+      perSinkFailed: Map[String, Long] = Map.empty,
+      /** Text bytes processed (the bytes_total observation) — feeds
+        * freader_bytes_total in the metrics rendering.
+        */
+      inputBytes: Long = 0L,
+      /** Manifest files visible to this run after path filtering —
+        * files_seen; manifestFiles − processedFiles = the offset-restored
+        * no-ops (restored_offsets analogue).
+        */
+      manifestFiles: Int = 0)
 
   /** Content-addressed batch id of ONE input file: a pure function of
     * (path, content hash), so replay of the same content always targets
@@ -150,7 +159,8 @@ object Pipeline {
 
     val todo = todoFps.map(_._1).toSeq
     if (todo.isEmpty)
-      return RunReport(runId, snapId, Nil, invalidated, pruned, Map.empty, 0L, 0L)
+      return RunReport(runId, snapId, Nil, invalidated, pruned, Map.empty,
+        0L, 0L, manifestFiles = files.size)
 
     // the distributed fingerprints serve both as the idempotency key (a
     // reprocessed file with NEW content must land in a NEW batch dir) and
@@ -338,7 +348,9 @@ object Pipeline {
         cfg.sinks.map(r => r.name -> perSink.get(r.name).map(_._1).getOrElse(0L)).toMap,
         metrics("lines_total").asInstanceOf[Long],
         metrics("blank_total").asInstanceOf[Long],
-        cfg.sinks.map(r => r.name -> perSink.get(r.name).map(_._2).getOrElse(0L)).toMap)
+        cfg.sinks.map(r => r.name -> perSink.get(r.name).map(_._2).getOrElse(0L)).toMap,
+        inputBytes = metrics("bytes_total").asInstanceOf[Long],
+        manifestFiles = files.size)
     }
   }
 }

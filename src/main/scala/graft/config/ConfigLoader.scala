@@ -182,7 +182,7 @@ object ConfigLoader {
       fpStrategy <- lk.str("collector.fingerprint-strategy", "checksum")
       fpSize <- lk.int("collector.fingerprint-size", 64 * 1024)
       _ <- schedulerChecks(lk)
-      _ <- prometheusChecks(lk)
+      promAddr <- prometheusChecks(lk)
       _ <- batchChecks(lk)
       ml <- multiline(lk)
       dd <- dedupStage(lk)
@@ -204,7 +204,8 @@ object ConfigLoader {
       fingerprintStrategy = fpStrategy,
       fingerprintSize = fpSize,
       labels = labels,
-      dedup = dd)
+      dedup = dd,
+      prometheusAddr = promAddr)
   }
 
   /** The `[collector.dedup]` sub-section — an engine-side extension (no
@@ -241,13 +242,15 @@ object ConfigLoader {
     _ <- if (w >= 1) Right(()) else Left("collector.workers must be >= 1")
   } yield ()
 
-  /** prometheus.addr must be set when prometheus.enable (config.go:227-229). */
-  private def prometheusChecks(lk: Lookup): Either[String, Unit] = for {
+  /** prometheus.addr must be set when prometheus.enable (config.go:227-229);
+    * yields the endpoint address when enabled.
+    */
+  private def prometheusChecks(lk: Lookup): Either[String, Option[String]] = for {
     en <- lk.bool("prometheus.enable", dflt = false)
     addr <- lk.str("prometheus.addr", "")
     _ <- if (!en || addr.nonEmpty) Right(())
       else Left("prometheus.addr must be set when prometheus.enable is true")
-  } yield ()
+  } yield if (en) Some(addr) else None
 
   /** sink.batch-size > 0, sink.batch-interval > 0 when set — the reference
     * validations (config.go:198-204); the engine's batching is lossless by

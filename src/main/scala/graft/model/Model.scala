@@ -172,7 +172,12 @@ final case class PipelineConfig(
       * [[graft.operators.Dedup.incrementalExactStaged]] /
       * `incrementalMinhashStaged`.
       */
-    dedup: Option[DedupStageSpec] = None
+    dedup: Option[DedupStageSpec] = None,
+    /** `/metrics` endpoint address when `prometheus.enable` is set
+      * (cmd/freader/main.go:69-84; prometheus.addr required by the
+      * validation matrix, config.go:227-229). None ⇒ no endpoint.
+      */
+    prometheusAddr: Option[String] = None
 ) {
   def validate(
       isDir: String => Boolean = graft.operators.PathFilter.localIsDir

@@ -35,6 +35,14 @@ object Dedup {
 
   /** Exact dedup returning the surviving rows (lowest id per content hash),
     * schema-preserving — the "apply" form of [[exact]].
+    *
+    * Scale note: the window formulation shuffles FULL rows on the content
+    * hash — one exchange, fine while rows are transcript-turn-sized. For
+    * 100 TB corpora of wide documents, prefer the two-step shape — the
+    * [[exact]] aggregate (hash + min-id only on the wire) followed by a
+    * `left_semi` join of (id = keep_id) back to the source — which
+    * shuffles 16 bytes per row instead of the document body and lets AQE
+    * size both sides; same result set, pick by row width.
     */
   def exactDeduped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

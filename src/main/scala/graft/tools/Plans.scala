@@ -80,6 +80,32 @@ object Plans {
     println("==== capstone curation pipeline (six stages, one plan) ====")
     graft.Queries.queries("q_curate_full")(spark, dir).explain("formatted")
 
+    println("==== incremental exact dedup batch-B plan (hash anti-join vs store, no BNLJ) ====")
+    locally {
+      val store = java.nio.file.Files.createTempDirectory("graft-plans-inc").toString
+      val d = docs.select(col("doc_id"), col("text"))
+      graft.operators.Dedup.incrementalExact(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
+      graft.operators.Dedup
+        .incrementalExactStaged(d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", store)
+        .fresh.explain("formatted")
+    }
+
+    println("==== incremental minhash batch-B plan (exact pre-filter + band equi-joins) ====")
+    locally {
+      val store = java.nio.file.Files.createTempDirectory("graft-plans-incmh").toString
+      val d = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 400)
+      graft.operators.Dedup.incrementalMinhash(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      graft.operators.Dedup
+        .incrementalMinhashStaged(d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", store, n = 3, bands = 4, rowsPerBand = 2,
+          threshold = 0.6)
+        .fresh.explain("formatted")
+    }
+
     spark.stop()
   }
 }

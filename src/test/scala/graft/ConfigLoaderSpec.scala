@@ -199,6 +199,10 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.fingerprintStrategy == "deviceAndInode")
     assert(cfg.labels == Map("env" -> "prod", "team" -> "infra"))
     assert(cfg.sinks.map(_.name) == Seq("all")) // labels is not a sink
+    assert(cfg.prometheusAddr.contains(":2112")) // endpoint address carried
+    // disabled (or absent) -> no endpoint
+    assert(loadText("[sink.all]\ntype = \"parquet\"\n")
+      .toOption.get.prometheusAddr.isEmpty)
   }
 
   test("dedup stage: section loads with defaults, env override, validation") {

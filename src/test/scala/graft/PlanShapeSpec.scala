@@ -52,6 +52,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("incremental dedup batch plans: hash joins only, never nested-loop/cartesian") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val store = java.nio.file.Files.createTempDirectory("graft-planshape-inc").toString
+    operators.Dedup.incrementalExact(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
+    val pExact = operators.Dedup.incrementalExactStaged(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", store)
+      .fresh.queryExecution.executedPlan.toString
+    val store2 = java.nio.file.Files.createTempDirectory("graft-planshape-incmh").toString
+    operators.Dedup.incrementalMinhash(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store2,
+      n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+    val pMh = operators.Dedup.incrementalMinhashStaged(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", store2,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      .fresh.queryExecution.executedPlan.toString
+    for ((name, p) <- Seq("incrementalExact" -> pExact, "incrementalMinhash" -> pMh)) {
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name planned a BNLJ:\n$p")
+    }
+    // the store anti-join keys on the 8-byte content hash (an equi hash
+    // join — broadcast or shuffled, either is the scale shape)
+    assert(pExact.contains("LeftAnti"), pExact)
+  }
+
   test("events scan prunes columns and pushes the filter down") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/events.parquet")
