@@ -328,6 +328,16 @@ object Queries {
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
         .select(col("a"), col("b"), TextAnalysis.r6(col("jaccard")).as("jaccard"))),
 
+    // near-dup CLUSTERS: connected components over the verified LSH pair
+    // graph — chains of copies collapse to one canonical minimum id (the
+    // pairwise output under-removes A≈B≈C chains); converged min-labels
+    // are unique, so the iterative Spark loop and DuckDB's recursive CTE
+    // must agree exactly
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(nearDupFixture(s, dir), "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+        .select(col("id").as("doc_id"), col("cluster"), col("n_members"))),
+
     // SimHash near-dup pairs (native expression, sha256-derived token hash
     // — the DuckDB oracle recomputes the identical 60-bit fingerprints)
     "q_dedup_simhash" -> ((s, dir) => {
@@ -676,6 +686,25 @@ object Queries {
         .withColumn("session_idx", sum(col("is_new")).over(wRun).cast("int"))
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    }),
+
+    // tokenizer vocabulary COVERAGE: per-doc fraction of tokens inside the
+    // corpus top-K vocabulary (K=500) — the OOV-rate analysis that sizes a
+    // tokenizer's vocab. The vocab plans as TakeOrderedAndProject (no
+    // global sort); coverage is one broadcast left join + one aggregate.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val tok = documents(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(500)
+        .select(col("word"), lit(1).as("inv"))
+      tok.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("inv"), lit(0)).cast("long")).as("n_covered"))
+        .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+          TextAnalysis.r6(col("n_covered").cast("double") / col("n_tokens"))
+            .as("coverage"))
     }),
 
     // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
@@ -1103,6 +1132,24 @@ object Queries {
          |  FROM cand c JOIN hsh da ON da.id = c.a JOIN hsh db ON db.id = c.b) v
          |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6""".stripMargin),
 
+    // near-dup clusters: the verified pair graph (same derivation as
+    // q_dedup_minhash via mhBatchCtes) closed transitively by a recursive
+    // CTE — component label = min reachable id over symmetric edges, the
+    // same fixpoint the engine's label propagation converges to
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + nearDupCte.stripPrefix("WITH ") + ", " +
+        mhBatchCtes("c", "docs2", 0.6) +
+        s""",
+           |ed AS (SELECT a, b FROM vpc UNION ALL SELECT b, a FROM vpc),
+           |rc(id, r) AS (
+           |  SELECT DISTINCT a, a FROM ed
+           |  UNION
+           |  SELECT ed.a, rc.r FROM ed JOIN rc ON rc.id = ed.b),
+           |cl AS (SELECT id, min(r) AS cluster FROM rc GROUP BY id),
+           |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM cl GROUP BY 1)
+           |SELECT cl.id AS doc_id, cl.cluster, sz.n_members
+           |FROM cl JOIN sz USING (cluster)""".stripMargin),
+
     // incremental exact dedup: B's survivors = B deduped within itself
     // (lowest id per content), minus any content batch A committed — the
     // same sha60 store key the engine anti-joins on
@@ -1362,6 +1409,22 @@ object Queries {
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
         |      FROM documents) t
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    // vocab coverage: identical top-500 vocabulary (same total order tie-
+    // break on word) then per-doc covered-token counting via a left join
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |voc AS (SELECT word FROM (
+        |    SELECT word, count(*) AS cnt FROM tok
+        |    GROUP BY 1 ORDER BY cnt DESC, word LIMIT 500) tv),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM tok t LEFT JOIN voc v ON t.word = v.word GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_covered,
+        |  floor((CAST(n_covered AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS coverage
+        |FROM agg""".stripMargin,
 
     // embedding outlier: identical r6 per-(label,dim) means; dims pair by
     // index (Spark 0-based posexplode vs DuckDB 1-based v[i], both in dim

@@ -366,6 +366,55 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified LSH pair
+    * graph, labeling every clustered doc with its component's minimum id
+    * (the canonical representative) plus the member count. Pairwise
+    * near-dup output ([[minhashLsh]]) under-removes at scale: A≈B and
+    * B≈C keeps A and C even when the whole chain is one duplicated
+    * document family — components collapse the chain.
+    *
+    * Implementation: iterative min-label propagation to a fixpoint. Each
+    * round joins the (id, cluster) label table to the symmetric edge list,
+    * takes the least of own and neighbor labels, and localCheckpoints the
+    * result (truncating the iterative lineage). Rounds are bounded by the
+    * cluster DIAMETER, not the corpus: near-dup families are shallow
+    * (copies of copies), so 2-4 rounds converge. The label table carries
+    * two longs per clustered doc — at 100 TB the loop shuffles ids only;
+    * for adversarial long-chain graphs swap in the alternating
+    * small-star/large-star variant (same join shape, fewer rounds). The
+    * converged labels are the unique component minima, so the result is
+    * deterministic regardless of round count — which is what makes an
+    * iterative distributed loop DuckDB-oracle-able (recursive CTE).
+    *
+    * Returns (id, cluster, n_members) for docs in clusters of size ≥ 2;
+    * unclustered docs are absent (their cluster is trivially themselves).
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand, threshold)
+      .select(col("a"), col("b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels.select(col("id").as("b"), col("cluster").as("bc")), "b")
+        .groupBy(col("a")).agg(min(col("bc")).as("nm"))
+      val next = labels.join(nbrMin.select(col("a").as("id"), col("nm")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nm"), col("cluster"))).as("cluster"),
+          (col("nm") < col("cluster")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+    }
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster").select(col("id"), col("cluster"), col("n_members"))
+  }
+
   /** 60-bit SimHash fingerprint — native single-pass expression
     * ([[graft.functions.SimHash]], registered as `simhash64`).
     */

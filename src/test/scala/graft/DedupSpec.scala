@@ -156,6 +156,31 @@ class DedupSpec extends AnyFunSuite {
       n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6, maxSeenDirs = 3).isEmpty)
   }
 
+  test("nearDupClusters: transitive chains collapse to the component minimum") {
+    // disjoint vocab per base doc; a 3-link chain 5 -> 1005 -> 2005 where
+    // the ends may not pair directly — only transitivity joins them
+    val base = (0L until 20L).map(i =>
+      (i, (0 until 20).map(j => s"t${i}_$j").mkString(" ")))
+    val chain = Seq(
+      (1003L, base(3)._2),                          // exact copy of 3
+      (1005L, base(5)._2 + " tail tail"),           // near-dup of 5
+      (2005L, base(5)._2 + " tail tail tail tail")) // near-dup of 1005
+    val df = (base ++ chain).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(df, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("id", "cluster", "n_members")
+      .as[(Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // the exact-copy pair clusters under its minimum
+    assert(byId(3L)._2 == 3L && byId(1003L)._2 == 3L && byId(3L)._3 == 2L)
+    // the whole chain shares one component labeled 5, regardless of
+    // whether (5, 2005) paired directly
+    assert(byId(5L)._2 == 5L && byId(1005L)._2 == 5L && byId(2005L)._2 == 5L)
+    assert(byId(5L)._3 == 3L)
+    // unclustered docs are absent
+    assert(!byId.contains(7L))
+  }
+
   test("embedding cosine near-dup finds planted duplicate vector") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
