@@ -168,12 +168,15 @@ object Bench {
     // official file had one query inflated 23×). The minimum is the
     // steady-state a quiet machine reproduces.
     val queryIters = sys.env.getOrElse("SPARK_GRAFT_QUERY_ITERS", "3").toInt
-    // bounded-verifier exemption (r3 VERDICT): q_dedup_ngram is the
+    // bounded-fixture exemption (r3 VERDICT): q_dedup_ngram is the
     // intentionally-quadratic ground-truth verifier (~11s at sf0.1) whose
     // first reading is already a valid upper bound — retry escalation on
     // it alone can eat a minute of budget for a query whose scale story
-    // is "don't run this at scale". One shot, one dirty-window retry max.
-    val singleShot = Set("q_dedup_ngram")
+    // is "don't run this at scale". q_neardup_incremental runs TWO full
+    // persisted-store campaigns (dozens of small store-I/O jobs) inside
+    // one query — a correctness fixture, not a throughput path — and
+    // costs 6-13s per shot. One shot each, one dirty-window retry max.
+    val singleShot = Set("q_dedup_ngram", "q_neardup_incremental")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       def run(f: => Unit): Double =

@@ -40,6 +40,35 @@ object TranscriptStream {
       .agg(count(lit(1)).as("n_calls"))
       .select(col("window.start").as("w_start"), col("tool"), col("n_calls"))
 
+  /** Streaming exact content-dedup — the in-motion face of the batch
+    * pipeline's incremental dedup store
+    * ([[graft.operators.Dedup.incrementalExactStaged]]): the first turn
+    * carrying each distinct text passes, every later copy is dropped,
+    * with Spark's stateful dedup operator holding the seen-set. State
+    * carries ONE 8-byte sha60 per distinct text (the same key the batch
+    * store persists), never the text itself — keying the operator on the
+    * raw text column would put whole documents in the state store.
+    *
+    * `watermarkDelay = Some(d)` bounds state to the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): duplicates arriving within `d` of
+    * the original are dropped, state older than the horizon is evicted —
+    * the unbounded-campaign trade-off made explicit. `None` keeps exact
+    * global dedup with state growing one key per distinct text
+    * (backfills / bounded corpora).
+    */
+  def dedupStream(turns: Dataset[Turn],
+      watermarkDelay: Option[String] = None): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    val keyed = turns.withColumn("__h60",
+      graft.functions.Hashing.sha60(col("text")))
+    val deduped = watermarkDelay match {
+      case Some(d) =>
+        keyed.withWatermark("ts", d).dropDuplicatesWithinWatermark("__h60")
+      case None => keyed.dropDuplicates("__h60")
+    }
+    deduped.drop("__h60").as[Turn]
+  }
+
   /** Stateful multiline assembly over a stream of turns: one group per
     * conversation. Completed records are emitted append-mode; the open
     * buffer rides in state until a later batch closes it — exactly the

@@ -183,6 +183,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first copy of each text passes, replays drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = TranscriptStream.dedupStream(in.toDS())
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a within-batch duplicate — one survivor
+      in.addData(turn("c1", 0, "alpha beta"), turn("c1", 1, "gamma"),
+        turn("c2", 0, "alpha beta"))
+      q.processAllAvailable()
+      val r1 = spark.table("dedup_stream_out")
+        .select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+      assert(r1.map(_._2).size == 2 && r1.exists(_._2 == 1))
+      assert(r1.count(_ == ("c2", 0)) + r1.count(_ == ("c1", 0)) == 1)
+      // batch 2: a cross-batch replay drops, new content passes — the
+      // streaming analogue of the incremental store's idempotent replay
+      in.addData(turn("c3", 0, "gamma"), turn("c3", 1, "delta"))
+      q.processAllAvailable()
+      val r2 = spark.table("dedup_stream_out")
+        .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect()
+      assert(r2.count(_._3 == "gamma") == 1)
+      assert(r2.exists(r => r._1 == "c3" && r._3 == "delta"))
+      assert(r2.length == 3)
+    } finally q.stop()
+  }
+
   test("windowed tool usage with watermark over a streaming source") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
