@@ -391,9 +391,19 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashLsh(df, idCol, textCol, n, bands, rowsPerBand, threshold)
-      .select(col("a"), col("b"))
+      threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+      minhashLsh(df, idCol, textCol, n, bands, rowsPerBand, threshold)
+        .select(col("a"), col("b")))
+
+  /** Connected components over ANY undirected pair graph `(a, b)` — the
+    * label-propagation core of [[nearDupClusters]], reusable over every
+    * pair producer in the family ([[simhashPairs]], [[embeddingNearDup]],
+    * [[ngramJaccard]]). See nearDupClusters for the scale analysis.
+    * Returns (id, cluster, n_members) for ids appearing in any pair.
+    */
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("a"), col("b"))
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)

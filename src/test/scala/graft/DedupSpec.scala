@@ -189,5 +189,10 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", minCosine = 0.999)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((7L, 500L)))
+    // the components core composes onto ANY pair producer in the family
+    val clusters = Dedup.connectedComponents(
+        Dedup.embeddingNearDup(df, "vec_id", "embedding", minCosine = 0.999))
+      .select("id", "cluster", "n_members").as[(Long, Long, Long)].collect().toSet
+    assert(clusters == Set((7L, 7L, 2L), (500L, 7L, 2L)))
   }
 }

@@ -131,6 +131,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(fs.listStatus(sp).exists(_.getPath.getName.startsWith("seen-")))
   }
 
+  test("minhash dedup stage: near-duplicate rows of earlier runs are dropped too") {
+    import org.apache.spark.sql.functions.{col, concat, length, lit}
+    val root = tmp()
+    val dcfg = PipelineConfig(
+      sinks = Seq(SinkRule("all", kind = "parquet")),
+      dedup = Some(graft.model.DedupStageSpec("minhash", s"$root/store",
+        threshold = 0.6, ngram = 3, bands = 8, rowsPerBand = 2)))
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    val out = s"$root/sinks"
+    val batch1 = Transcripts.synthesize(spark, numConvs = 10, turnsPerConv = 10).toDF()
+    table.append(batch1)
+    val r1 = Pipeline.run(spark, table, lineage, dcfg, out)
+    assert(r1.perSinkDelivered("all") > 0)
+
+    // run 2: every long-enough run-1 text re-appears with two appended
+    // tokens (a true NEAR duplicate — the exact stage would keep it);
+    // short texts pass through unchanged (exact replays, dropped by the
+    // store's exact component)
+    val nearDups = batch1
+      .withColumn("conv_id", concat(lit("nd-"), $"conv_id"))
+      .withColumn("text",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(col("text"), "\\s+")) >= 3 &&
+            length(col("text")) > 0,
+          concat(col("text"), lit(" tail tail"))).otherwise(col("text")))
+    table.append(nearDups)
+    val r2 = Pipeline.run(spark, table, lineage, dcfg, out)
+    // near-dup recall is probabilistic per pair but the fixture's texts
+    // are long shared-shingle lines: the stage must drop the bulk of the
+    // re-appeared content, and exact replays must drop entirely
+    assert(r2.perSinkDelivered("all") < r1.perSinkDelivered("all") / 2,
+      s"run2=${r2.perSinkDelivered("all")} run1=${r1.perSinkDelivered("all")}")
+
+    // run 3: a byte-identical replay of run 2's file content under new
+    // conv ids — everything is in the store now, nothing delivers
+    table.append(nearDups.withColumn("conv_id", concat(lit("nd2-"), $"conv_id")))
+    val r3 = Pipeline.run(spark, table, lineage, dcfg, out)
+    assert(r3.perSinkDelivered("all") == 0)
+  }
+
   test("crash window: sinks written, lineage lost, NEW file appended — replay re-delivers nothing") {
     val root = tmp()
     val table = new SnapshotTable(spark, s"$root/table")
