@@ -333,11 +333,23 @@ object Dedup {
       .as(Seq("band", "bhash")))
   }
 
+  /** `maxBucket`: candidate generation is QUADRATIC in band-bucket size —
+    * a family of B near-identical docs shares every band, so one
+    * mega-family costs B²/2 candidate pairs per band (the real 100 TB
+    * hazard of LSH dedup; run [[exactDeduped]] first so IDENTICAL docs
+    * collapse before banding, as q_curate_full does). A cap drops buckets
+    * larger than `maxBucket` from candidate generation: a doc pair is
+    * still found if ANY of its shared bands stays under the cap, so only
+    * families larger than the cap across ALL their bands lose recall —
+    * and a family that size is better handled by clustering its cap-sized
+    * subsamples ([[connectedComponents]] chains overlapping subsets).
+    * None (the default) keeps exact current behavior and adds no shuffle.
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8, maxBucket: Option[Int] = None): DataFrame =
     lshPairsFromSets(shingleHashSets(df, idCol, textCol, n), bands,
-      rowsPerBand, threshold)
+      rowsPerBand, threshold, maxBucket)
 
   /** Verified near-dup pairs (a < b) from precomputed hashed-shingle sets:
     * banded candidates + exact-Jaccard verification of candidates only.
@@ -345,8 +357,19 @@ object Dedup {
     * builds `sets` once and reuses it for the cross-batch join).
     */
   private def lshPairsFromSets(sets: DataFrame, bands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
-    val bandRows = bandRowsOf(sets, bands, rowsPerBand)
+      threshold: Double, maxBucket: Option[Int] = None): DataFrame = {
+    val bandRows0 = bandRowsOf(sets, bands, rowsPerBand)
+    val bandRows = maxBucket match {
+      case None => bandRows0
+      case Some(cap) =>
+        // one aggregate on the (band, bhash) key — the same key the
+        // candidate join shuffles on — then a semi-filter of small buckets
+        val sizes = bandRows0.groupBy(col("band"), col("bhash"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= cap)
+          .select(col("band"), col("bhash"))
+        bandRows0.join(sizes, Seq("band", "bhash"), "left_semi")
+    }
 
     val candidates = bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&

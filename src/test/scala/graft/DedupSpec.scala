@@ -156,6 +156,26 @@ class DedupSpec extends AnyFunSuite {
       n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6, maxSeenDirs = 3).isEmpty)
   }
 
+  test("maxBucket caps quadratic candidate generation from near-identical mega-families") {
+    // a 40-member near-identical family: every member shares every band,
+    // so uncapped candidate generation is quadratic in the family size
+    val family = (0L until 40L).map(i =>
+      (i, (0 until 20).map(j => s"f$j").mkString(" ") + s" v$i"))
+    val solo = Seq((100L, (0 until 20).map(j => s"z$j").mkString(" ")),
+      (101L, (0 until 20).map(j => s"z$j").mkString(" ") + " tail tail"))
+    val df = (family ++ solo).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(df, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6).count()
+    assert(uncapped > 500L, s"family should explode quadratically: $uncapped")
+    // capped: family buckets (40 rows each) drop; the small pair survives
+    val capped = Dedup.minhashLsh(df, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6, maxBucket = Some(10))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)))
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"family pairs must be suppressed by the cap: $capped")
+  }
+
   test("nearDupClusters: transitive chains collapse to the component minimum") {
     // disjoint vocab per base doc; a 3-link chain 5 -> 1005 -> 2005 where
     // the ends may not pair directly — only transitivity joins them
