@@ -61,29 +61,34 @@ object Main {
         // scrape window before the batch exits (the daemon never exits —
         // the one structural difference)
         @volatile var metricsState = graft.metrics.Metrics.State()
+        val lingerMs = sys.env.get("GRAFT_METRICS_LINGER_MS")
+          .flatMap(_.toLongOption).getOrElse(0L)
         val stopMetrics = cfg.prometheusAddr.map { addr =>
           val (port, stop) = graft.metrics.Metrics.serve(addr,
             () => graft.metrics.Metrics.renderText(metricsState))
           System.err.println(s"[graft] serving /metrics on port $port")
           stop
         }
-        val report = Pipeline.run(spark, new SnapshotTable(spark, tableRoot),
-          new LineageStore(spark, lineageRoot), cfg, outDir)
-        metricsState = metricsState.add(report)
-        val sinks = report.perSinkDelivered
-          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-        val failed = report.perSinkFailed
-          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-        println(s"""{"run_id":"${report.runId}","snapshot":${report.snapshotId},""" +
-          s""""processed_files":${report.processedFiles.size},""" +
-          s""""invalidated":${report.invalidatedFiles.size},""" +
-          s""""pruned":${report.prunedFiles.size},""" +
-          s""""input_rows":${report.inputRows},"blank_rows":${report.blankRows},""" +
-          s""""delivered":$sinks,"failed":$failed}""")
-        stopMetrics.foreach { stop =>
-          Thread.sleep(sys.env.getOrElse("GRAFT_METRICS_LINGER_MS", "0").toLong)
-          stop()
-        }
+        // the endpoint's dispatcher thread is non-daemon: stop() must run
+        // on EVERY exit path or a failed run leaves a zombie JVM holding
+        // the port — linger only on success (a scrape window for the
+        // final counters), never on the failure path
+        try {
+          val report = Pipeline.run(spark, new SnapshotTable(spark, tableRoot),
+            new LineageStore(spark, lineageRoot), cfg, outDir)
+          metricsState = metricsState.add(report)
+          val sinks = report.perSinkDelivered
+            .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+          val failed = report.perSinkFailed
+            .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+          println(s"""{"run_id":"${report.runId}","snapshot":${report.snapshotId},""" +
+            s""""processed_files":${report.processedFiles.size},""" +
+            s""""invalidated":${report.invalidatedFiles.size},""" +
+            s""""pruned":${report.prunedFiles.size},""" +
+            s""""input_rows":${report.inputRows},"blank_rows":${report.blankRows},""" +
+            s""""delivered":$sinks,"failed":$failed}""")
+          if (stopMetrics.nonEmpty && lingerMs > 0) Thread.sleep(lingerMs)
+        } finally stopMetrics.foreach(_.apply())
 
       case other =>
         System.err.println(s"usage: graft.Main seed <table> <convs> <turns> [megaTurns] | " +

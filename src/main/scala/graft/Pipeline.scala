@@ -199,18 +199,35 @@ object Pipeline {
     // THIS batch are no-ops via the sink batch-dir check regardless.)
     // The dedup id is a content-addressed stable key, not a row number:
     // deterministic under reshuffles and re-runs.
+    //
+    // INVALIDATED files bypass the store check: their previous delivery
+    // was just deleted (stale batch dirs removed below), yet their
+    // unchanged rows' hashes are already committed — anti-joining them
+    // would silently erase the unchanged content from every sink. Bypassed
+    // rows re-deliver in full; their hashes need no re-commit (duplicates
+    // in an anti-join build side would be harmless anyway).
+    val invalidatedNames = invalidated.map(f => new Path(f).getName).toSet
     val dedupStage = cfg.dedup.map { dd =>
-      val withId = turns.withColumn("__dedup_id",
-        concat_ws("#", col("src_file"), col("conv_id"),
-          col("turn_idx").cast("string")))
-      if (dd.mode == "minhash")
-        operators.Dedup.incrementalMinhashStaged(withId, "__dedup_id", "text",
-          dd.storeDir, dd.ngram, dd.bands, dd.rowsPerBand, dd.threshold)
-      else
-        operators.Dedup.incrementalExactStaged(withId, "__dedup_id", "text",
-          dd.storeDir)
+      val fromInvalidated =
+        if (invalidatedNames.isEmpty) lit(false)
+        else substring_index(col("src_file"), "/", -1)
+          .isin(invalidatedNames.toSeq: _*)
+      val candidate = turns.filter(!fromInvalidated)
+        .withColumn("__dedup_id",
+          concat_ws("#", col("src_file"), col("conv_id"),
+            col("turn_idx").cast("string")))
+      val batch =
+        if (dd.mode == "minhash")
+          operators.Dedup.incrementalMinhashStaged(candidate, "__dedup_id", "text",
+            dd.storeDir, dd.ngram, dd.bands, dd.rowsPerBand, dd.threshold)
+        else
+          operators.Dedup.incrementalExactStaged(candidate, "__dedup_id", "text",
+            dd.storeDir)
+      val rows = batch.fresh.drop("__dedup_id")
+        .unionByName(turns.filter(fromInvalidated))
+      (rows, batch.commit)
     }
-    val toRoute = dedupStage.map(_.fresh.drop("__dedup_id")).getOrElse(turns)
+    val toRoute = dedupStage.map(_._1).getOrElse(turns)
 
     // One logical fan-out; every sink and count derives from this plan.
     // NOT persisted: the source is a pinned snapshot of immutable files, so
@@ -334,7 +351,7 @@ object Pipeline {
       lineage.commitDf(entriesDf, runId)
       // dedup store publishes strictly AFTER the lineage commit (the
       // crash-ordering contract above); also releases the stage's caches
-      dedupStage.foreach(_.commit())
+      dedupStage.foreach(_._2())
 
       // report totals come from the just-committed (small) lineage slice
       val perSink = lineage.entriesDf()

@@ -723,8 +723,7 @@ object Queries {
           .select((col("doc_id") + 400000).as("doc_id"), col("text")))
         .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 20)
           .select((col("doc_id") + 500000).as("doc_id"), col("text")))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-q-incexact").toString
+      val store = tempStore("graft-q-incexact")
       Dedup.incrementalExact(a, "doc_id", "text", store)
       Dedup.incrementalExact(b, "doc_id", "text", store)
     }),
@@ -750,14 +749,30 @@ object Queries {
         .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
           .select((col("doc_id") + 800000).as("doc_id"), col("text")))
         .unionByName(Seq((900001L, "aa bb"), (900002L, "aa bb")).toDF("doc_id", "text"))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-q-incmh").toString
+      val store = tempStore("graft-q-incmh")
       Dedup.incrementalMinhash(a, "doc_id", "text", store,
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
       Dedup.incrementalMinhash(b, "doc_id", "text", store,
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
     })
   )
+
+  /** Fresh throwaway store for the incremental-query fixtures, removed at
+    * JVM exit: the query result's plan reads the store lazily, so deletion
+    * can only happen once the driver is done with it — but bench/verify
+    * campaigns invoke these queries many times and must not accrete dead
+    * parquet stores in /tmp.
+    */
+  private def tempStore(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    dir.toString
+  }
 
   /** Near-duplicate fixture: documents plus, for long-enough docs with
     * doc_id < 100, a copy with two appended tokens (true near-dup).

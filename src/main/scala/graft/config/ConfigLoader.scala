@@ -242,14 +242,25 @@ object ConfigLoader {
     _ <- if (w >= 1) Right(()) else Left("collector.workers must be >= 1")
   } yield ()
 
-  /** prometheus.addr must be set when prometheus.enable (config.go:227-229);
-    * yields the endpoint address when enabled.
+  /** prometheus.addr must be set when prometheus.enable (config.go:227-229)
+    * and must be a listenable host:port — Go's net.Listen rejects a
+    * port-less address at startup; validating here surfaces it at config
+    * time instead of as a bind failure mid-run. Yields the endpoint
+    * address when enabled.
     */
   private def prometheusChecks(lk: Lookup): Either[String, Option[String]] = for {
     en <- lk.bool("prometheus.enable", dflt = false)
     addr <- lk.str("prometheus.addr", "")
-    _ <- if (!en || addr.nonEmpty) Right(())
-      else Left("prometheus.addr must be set when prometheus.enable is true")
+    _ <- if (!en) Right(())
+      else if (addr.isEmpty)
+        Left("prometheus.addr must be set when prometheus.enable is true")
+      else {
+        val i = addr.lastIndexOf(':')
+        if (i < 0) Left(s"prometheus.addr must be host:port (got '$addr')")
+        else addr.substring(i + 1).toIntOption
+          .filter(p => p >= 0 && p <= 65535).map(_ => ())
+          .toRight(s"prometheus.addr: invalid port in '$addr'")
+      }
   } yield if (en) Some(addr) else None
 
   /** sink.batch-size > 0, sink.batch-interval > 0 when set — the reference

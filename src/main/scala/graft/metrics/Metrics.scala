@@ -112,7 +112,8 @@ object Metrics {
     val (host, port) = addr.lastIndexOf(':') match {
       case -1 => (addr, 9090)
       case i =>
-        val h = addr.substring(0, i)
+        // bracketed IPv6 ("[::1]:2112") unwraps for InetSocketAddress
+        val h = addr.substring(0, i).stripPrefix("[").stripSuffix("]")
         (if (h.isEmpty) "0.0.0.0" else h, addr.substring(i + 1).toInt)
     }
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)

@@ -52,11 +52,12 @@ object Dedup {
   }
 
   /** A staged incremental-dedup batch: `fresh` is the batch's surviving
-    * rows (safe to consume any number of times — its plan reads only the
-    * store dirs that existed when it was staged, so it is deterministic
-    * even after `commit` publishes a new dir); `commit()` atomically
-    * publishes the survivors' state to the store, runs size-triggered
-    * compaction, and releases the per-batch caches. Staging lets a caller
+    * rows — consumable any number of times, deterministically, from stage
+    * until the NEXT batch is staged against the same store (its plan pins
+    * the store dirs that existed at stage time; `commit()` only adds a
+    * dir, but the next stage's compaction may merge-and-delete the pinned
+    * ones). `commit()` atomically publishes the survivors' state to the
+    * store and releases the per-batch caches. Staging lets a caller
     * (e.g. [[graft.Pipeline]]) deliver the survivors first and commit the
     * dedup store ONLY after its own delivery commit, so a crash-and-replay
     * never loses rows to a store that committed ahead of the sink.
@@ -67,6 +68,15 @@ object Dedup {
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("seen-")).sortBy(_.getName.toString)
+
+  /** Sweep crash leftovers: `_tmp-*` dirs are never commit targets (every
+    * commit gets a fresh uuid), so a long crash-prone campaign must not
+    * accrete them — the sink root's `_staging-*` sweep, applied here.
+    */
+  private def cleanTmp(fs: FileSystem, root: Path): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath).filter(_.getName.startsWith("_tmp-"))
+        .foreach(p => fs.delete(p, true))
 
   /** Atomic store publish: write under `_tmp-<id>`, one rename to
     * `seen-<id>` — the LineageStore commit-point pattern. A crash mid-write
@@ -119,8 +129,12 @@ object Dedup {
   def incrementalExact(df: DataFrame, idCol: String, textCol: String,
       storeDir: String, maxSeenDirs: Int = 16): DataFrame = {
     val b = incrementalExactStaged(df, idCol, textCol, storeDir, maxSeenDirs)
+    // materialize before commit releases the stage cache, so consumers of
+    // the returned frame read blocks instead of re-running the anti-join;
+    // localCheckpoint blocks are ContextCleaner-reclaimed on GC (no leak)
+    val out = b.fresh.localCheckpoint(true)
     b.commit()
-    b.fresh
+    out
   }
 
   /** [[incrementalExact]] with the store publish deferred to
@@ -131,6 +145,7 @@ object Dedup {
     val spark = df.sparkSession
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cleanTmp(fs, root)
     compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
       spark.read.parquet(old.map(_.toString): _*).distinct()
         .write.mode("overwrite").parquet(tmp.toString)
@@ -177,8 +192,10 @@ object Dedup {
       threshold: Double = 0.8, maxSeenDirs: Int = 16): DataFrame = {
     val b = incrementalMinhashStaged(df, idCol, textCol, storeDir, n, bands,
       rowsPerBand, threshold, maxSeenDirs)
+    // see incrementalExact: materialize, then commit-and-release
+    val out = b.fresh.localCheckpoint(true)
     b.commit()
-    b.fresh
+    out
   }
 
   /** [[incrementalMinhash]] with the store publish deferred to
@@ -190,22 +207,33 @@ object Dedup {
     val spark = df.sparkSession
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cleanTmp(fs, root)
     compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
       Seq("bands", "sets", "exact").foreach { part =>
-        val merged = spark.read.parquet(old.map(d => s"$d/$part"): _*)
-        (if (part == "exact") merged.distinct() else merged)
-          .write.mode("overwrite").parquet(new Path(tmp, part).toString)
+        // stores written before the exact component existed lack the
+        // subdir — merge what exists, never fail on the gap
+        val srcs = old.filter(d => fs.exists(new Path(d, part)))
+          .map(d => s"$d/$part")
+        if (srcs.nonEmpty) {
+          val merged = spark.read.parquet(srcs: _*)
+          (if (part == "exact") merged.distinct() else merged)
+            .write.mode("overwrite").parquet(new Path(tmp, part).toString)
+        }
       }
     }
     val seenDirs = listSeen(fs, root)
     // 1) within-batch exact dedup + 2) exact-store pre-filter: identical
     // replays (and identical re-submissions) drop here, for EVERY doc —
-    // the shingle-less idempotency hole is closed structurally
+    // the shingle-less idempotency hole is closed structurally. Dirs from
+    // stores predating the exact component simply contribute nothing to
+    // this filter (their band/set state still cross-matches below).
+    val exactDirs = seenDirs.filter(d => fs.exists(new Path(d, "exact")))
+      .map(d => s"$d/exact")
     val batch = exactDeduped(df, idCol, textCol)
       .withColumn("__h60", Hashing.sha60(col(textCol)))
-    val unseen = (if (seenDirs.isEmpty) batch
+    val unseen = (if (exactDirs.isEmpty) batch
       else batch.join(
-        spark.read.parquet(seenDirs.map(d => s"$d/exact"): _*),
+        spark.read.parquet(exactDirs: _*),
         col("__h60") === col("content_h60"), "left_anti")).cache()
     // 3) within-batch near-dup removal (keep the lower id of each pair)
     val sets = shingleHashSets(unseen, idCol, textCol, n).cache()

@@ -98,12 +98,26 @@ object PathFilter {
             }
           }
           require(closed, s"bad pattern (unterminated class): $pattern")
-          // Go getEsc parity: an unescaped '-' may only appear BETWEEN two
-          // class chars (as the range operator) — leading/trailing forms
-          // are ErrBadPattern, not literals
-          Seq(body.headOption, body.lastOption).flatten.foreach { case (c, esc) =>
-            require(c != '-' || esc,
-              s"bad pattern (unescaped '-' at class boundary): $pattern")
+          // Go class grammar parity (Match's '[' loop + getEsc): the body
+          // is a sequence of `lo` or `lo-hi` items, and NEITHER endpoint
+          // may be an unescaped '-' — so "[-a]", "[a-]", "[a-b-c]" and
+          // "[a--b]" are all ErrBadPattern, never literals or Java-only
+          // regex semantics
+          locally {
+            def unescapedDash(i: Int): Boolean =
+              body(i)._1 == '-' && !body(i)._2
+            var i = 0
+            while (i < body.length) {
+              require(!unescapedDash(i),
+                s"bad pattern (unescaped '-' outside a range): $pattern")
+              i += 1
+              if (i < body.length && unescapedDash(i)) { // range operator
+                i += 1
+                require(i < body.length && !unescapedDash(i),
+                  s"bad pattern (unescaped '-' outside a range): $pattern")
+                i += 1
+              }
+            }
           }
           val chars = body.iterator.map { case (c, escaped) =>
             // keep unescaped '-' as a range operator; escape everything

@@ -155,12 +155,17 @@ object TranscriptStream {
       }
       val fsm = new Segments.Fsm(spec)
       fsm.restoreBuffer(cur.buf)
-      // a NEW conversation seeds its cursor from the lowest index it
-      // actually delivered first: a 1-based (or offset) stream emits
-      // instead of parking every row forever behind a turn 0 that will
-      // never come. Indexes below the seed arriving later are dropped as
-      // replays — the at-least-once contract, degrading loudly (records
-      // flow) rather than silently withholding all output.
+      // a NEW conversation seeds its cursor from the lowest index its
+      // FIRST batch delivered: a 1-based (or offset) stream emits instead
+      // of parking every row forever behind a turn 0 that will never
+      // come. The cost is explicit: if a 0-based conversation's very
+      // first batch is missing its earliest turns (still in flight), a
+      // later arrival below the seed is DROPPED — lost from the
+      // assembled record, not duplicated. The trade chosen here (per the
+      // reference's timeout-flush philosophy) is to degrade loudly with
+      // flowing records rather than silently withhold all output; feed
+      // conversations whose turn-0 ordering matters through a source
+      // that delivers the first turn first.
       var last =
         if (isNew && minIdx != Int.MaxValue) minIdx - 1 else cur.lastTurn
       while (pending.containsKey(last + 1)) {

@@ -77,10 +77,14 @@ class PathFilterSpec extends AnyFunSuite {
     // "a[]]b" does not parse as a class containing ']' (write "a[\]]b")
     intercept[IllegalArgumentException](PathFilter.globToRegex("a[]]b"))
     intercept[IllegalArgumentException](PathFilter.globToRegex("a[^]]b"))
-    // ... as is an unescaped '-' at either class boundary (range operator
-    // only BETWEEN chars; the literal needs the "[a\-c]" escape)
+    // ... as is any unescaped '-' outside a lo-hi range (Go's class
+    // grammar; the literal needs the "[a\-c]" escape)
     intercept[IllegalArgumentException](PathFilter.globToRegex("a[-b]c"))
     intercept[IllegalArgumentException](PathFilter.globToRegex("a[b-]c"))
+    intercept[IllegalArgumentException](PathFilter.globToRegex("a[x-y-z]c"))
+    intercept[IllegalArgumentException](PathFilter.globToRegex("a[x--y]c"))
+    // two adjacent ranges ARE legal ("[a-cx-z]")
+    assert(m("f[a-cx-z]g", "fbg") && m("f[a-cx-z]g", "fyg") && !m("f[a-cx-z]g", "fmg"))
   }
 
   test("clean and glob-root derivation") {

@@ -131,6 +131,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(fs.listStatus(sp).exists(_.getPath.getName.startsWith("seen-")))
   }
 
+  test("dedup stage + invalidation: a rewritten file re-delivers ALL its latest content") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    val dcfg = PipelineConfig(
+      sinks = Seq(SinkRule("all", kind = "parquet")),
+      dedup = Some(graft.model.DedupStageSpec("exact", s"$root/store")))
+    val table = new SnapshotTable(spark, s"$root/table")
+    val lineage = new LineageStore(spark, s"$root/lineage")
+    val out = s"$root/sinks"
+    table.append(Transcripts.synthesize(spark, numConvs = 5, turnsPerConv = 6).toDF())
+    val r1 = Pipeline.run(spark, table, lineage, dcfg, out)
+    assert(r1.perSinkDelivered("all") > 0)
+
+    // rewrite one committed file in place: SAME rows (already in the
+    // dedup store) plus one new conversation — the invalidation path
+    // deletes the file's old batch dirs, so if the store filtered the
+    // unchanged rows they would vanish from every sink
+    val victim = r1.processedFiles.head
+    val oldRows = spark.read.parquet(victim)
+    val extra = Transcripts.synthesize(spark, numConvs = 6, turnsPerConv = 6).toDF()
+      .filter(col("conv_id") === "conv-00000005")
+    val tmpOut = s"$root/replacement"
+    oldRows.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val fs = new Path(victim).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPart = fs.listStatus(new Path(tmpOut))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(new Path(victim), false)
+    require(fs.rename(newPart, new Path(victim)))
+
+    val r2 = Pipeline.run(spark, table, lineage, dcfg, out)
+    assert(r2.invalidatedFiles == Seq(victim))
+    assert(r2.perSinkDelivered("all") > 0)
+    // the true invariant: NO text of the latest snapshot content is
+    // missing from the sink — the regression made the victim's unchanged
+    // rows vanish from every sink (their old dirs deleted, their
+    // re-delivery filtered by the store)
+    import org.apache.spark.sql.functions.length
+    val sinkTexts = spark.read.parquet(s"$out/all").select(col("message")).distinct()
+    val snapTexts = spark.read
+      .parquet(table.filesAt(table.currentSnapshotId.get): _*)
+      .filter(length(col("text")) > 0).select(col("text")).distinct()
+    val missing = snapTexts
+      .join(sinkTexts, snapTexts("text") === sinkTexts("message"), "left_anti")
+    assert(missing.isEmpty,
+      s"latest content missing from sink: ${missing.count()} texts")
+  }
+
   test("minhash dedup stage: near-duplicate rows of earlier runs are dropped too") {
     import org.apache.spark.sql.functions.{col, concat, length, lit}
     val root = tmp()
