@@ -203,29 +203,48 @@ object Pipeline {
     // INVALIDATED files bypass the store check: their previous delivery
     // was just deleted (stale batch dirs removed below), yet their
     // unchanged rows' hashes are already committed — anti-joining them
-    // would silently erase the unchanged content from every sink. Bypassed
-    // rows re-deliver in full; their hashes need no re-commit (duplicates
-    // in an anti-join build side would be harmless anyway).
+    // would silently erase the unchanged content from every sink.
+    // Bypassed rows re-deliver in full, AND their state still commits to
+    // the store (via a second staged batch whose survivor set is only
+    // used for the commit): content first introduced BY the rewrite must
+    // not re-deliver when a later file repeats it.
+    //
+    // KNOWN LIMIT (tombstone semantics): a rewrite that REMOVES content
+    // leaves its hashes in the store — the store holds hashes only, so it
+    // cannot know which of them the old file carried exclusively. If that
+    // content later arrives in a different file it stays suppressed even
+    // though no sink holds it any more. Retraction needs per-hash
+    // provenance (store (hash, src) and rewrite-on-invalidate) — the
+    // documented trade for an 8-byte-per-doc store; rewrites-with-removal
+    // are the rotation anomaly path, not the campaign path.
     val invalidatedNames = invalidated.map(f => new Path(f).getName).toSet
     val dedupStage = cfg.dedup.map { dd =>
+      def staged(rows: org.apache.spark.sql.DataFrame, compact: Boolean) = {
+        val withId = rows.withColumn("__dedup_id",
+          concat_ws("#", col("src_file"), col("conv_id"),
+            col("turn_idx").cast("string")))
+        val maxDirs = if (compact) 16 else Int.MaxValue
+        if (dd.mode == "minhash")
+          operators.Dedup.incrementalMinhashStaged(withId, "__dedup_id", "text",
+            dd.storeDir, dd.ngram, dd.bands, dd.rowsPerBand, dd.threshold,
+            maxSeenDirs = maxDirs)
+        else
+          operators.Dedup.incrementalExactStaged(withId, "__dedup_id", "text",
+            dd.storeDir, maxSeenDirs = maxDirs)
+      }
       val fromInvalidated =
         if (invalidatedNames.isEmpty) lit(false)
         else substring_index(col("src_file"), "/", -1)
           .isin(invalidatedNames.toSeq: _*)
-      val candidate = turns.filter(!fromInvalidated)
-        .withColumn("__dedup_id",
-          concat_ws("#", col("src_file"), col("conv_id"),
-            col("turn_idx").cast("string")))
-      val batch =
-        if (dd.mode == "minhash")
-          operators.Dedup.incrementalMinhashStaged(candidate, "__dedup_id", "text",
-            dd.storeDir, dd.ngram, dd.bands, dd.rowsPerBand, dd.threshold)
-        else
-          operators.Dedup.incrementalExactStaged(candidate, "__dedup_id", "text",
-            dd.storeDir)
+      val batch = staged(turns.filter(!fromInvalidated), compact = true)
+      // the bypass batch is staged AFTER the main one and never compacts,
+      // so it cannot delete store dirs the main batch's plan pins
+      val bypassBatch =
+        if (invalidatedNames.isEmpty) None
+        else Some(staged(turns.filter(fromInvalidated), compact = false))
       val rows = batch.fresh.drop("__dedup_id")
         .unionByName(turns.filter(fromInvalidated))
-      (rows, batch.commit)
+      (rows, () => { batch.commit(); bypassBatch.foreach(_.commit()) })
     }
     val toRoute = dedupStage.map(_._1).getOrElse(turns)
 

@@ -724,7 +724,9 @@ object Queries {
         .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 20)
           .select((col("doc_id") + 500000).as("doc_id"), col("text")))
       val store = tempStore("graft-q-incexact")
-      Dedup.incrementalExact(a, "doc_id", "text", store)
+      // seed batch A via the staged form: its survivors are discarded, so
+      // the non-staged wrapper's checkpoint materialization is waste
+      Dedup.incrementalExactStaged(a, "doc_id", "text", store).commit()
       Dedup.incrementalExact(b, "doc_id", "text", store)
     }),
 
@@ -750,27 +752,35 @@ object Queries {
           .select((col("doc_id") + 800000).as("doc_id"), col("text")))
         .unionByName(Seq((900001L, "aa bb"), (900002L, "aa bb")).toDF("doc_id", "text"))
       val store = tempStore("graft-q-incmh")
-      Dedup.incrementalMinhash(a, "doc_id", "text", store,
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      Dedup.incrementalMinhashStaged(a, "doc_id", "text", store,
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6).commit()
       Dedup.incrementalMinhash(b, "doc_id", "text", store,
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
     })
   )
 
   /** Fresh throwaway store for the incremental-query fixtures, removed at
-    * JVM exit: the query result's plan reads the store lazily, so deletion
-    * can only happen once the driver is done with it — but bench/verify
-    * campaigns invoke these queries many times and must not accrete dead
-    * parquet stores in /tmp.
+    * JVM exit (deletion must wait that long: Verify may still be writing
+    * the query result when the function returns). ONE static shutdown
+    * hook drains the registry — bench campaigns invoke these queries
+    * dozens of times and must accrete neither /tmp parquet stores nor
+    * per-invocation hook threads.
     */
-  private def tempStore(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  private val tempStores =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val tempStoreHook: Unit = {
     sys.addShutdownHook {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
       }
-      rm(dir.toFile)
+      tempStores.forEach(rm(_))
     }
+    ()
+  }
+  private def tempStore(prefix: String): String = {
+    tempStoreHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempStores.add(dir.toFile)
     dir.toString
   }
 

@@ -255,11 +255,21 @@ object ConfigLoader {
       else if (addr.isEmpty)
         Left("prometheus.addr must be set when prometheus.enable is true")
       else {
+        // validate exactly what Metrics.serve accepts: a bare host (port
+        // defaults to 9090), or host:port with a numeric port; IPv6 hosts
+        // must be bracketed or serve would split them at the wrong colon
         val i = addr.lastIndexOf(':')
-        if (i < 0) Left(s"prometheus.addr must be host:port (got '$addr')")
-        else addr.substring(i + 1).toIntOption
-          .filter(p => p >= 0 && p <= 65535).map(_ => ())
-          .toRight(s"prometheus.addr: invalid port in '$addr'")
+        if (i < 0) Right(())
+        else {
+          val host = addr.substring(0, i)
+          if (!addr.substring(i + 1).toIntOption.exists(p => p >= 0 && p <= 65535))
+            Left(s"prometheus.addr: invalid port in '$addr'")
+          else if (host.contains(':') &&
+            !(host.startsWith("[") && host.endsWith("]")))
+            Left(s"prometheus.addr: IPv6 host must be bracketed, " +
+              s"""e.g. "[::1]:2112" (got '$addr')""")
+          else Right(())
+        }
       }
   } yield if (en) Some(addr) else None
 

@@ -69,14 +69,22 @@ object Dedup {
     else fs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("seen-")).sortBy(_.getName.toString)
 
-  /** Sweep crash leftovers: `_tmp-*` dirs are never commit targets (every
-    * commit gets a fresh uuid), so a long crash-prone campaign must not
-    * accrete them — the sink root's `_staging-*` sweep, applied here.
+  /** Sweep crash leftovers: `_tmp-*` dirs are never read as seen state and
+    * every commit gets a fresh uuid, so a long crash-prone campaign must
+    * not accrete them — the sink root's `_staging-*` sweep, applied here.
+    * Only dirs OLDER than an hour are deleted: commits in flight from
+    * another batch sharing the store (the one concurrency the design
+    * doesn't forbid) finish in seconds and must not lose their staging
+    * dir to a racing stage-time sweep.
     */
   private def cleanTmp(fs: FileSystem, root: Path): Unit =
-    if (fs.exists(root))
-      fs.listStatus(root).map(_.getPath).filter(_.getName.startsWith("_tmp-"))
-        .foreach(p => fs.delete(p, true))
+    if (fs.exists(root)) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      fs.listStatus(root)
+        .filter(st => st.getPath.getName.startsWith("_tmp-") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
 
   /** Atomic store publish: write under `_tmp-<id>`, one rename to
     * `seen-<id>` — the LineageStore commit-point pattern. A crash mid-write
@@ -131,7 +139,10 @@ object Dedup {
     val b = incrementalExactStaged(df, idCol, textCol, storeDir, maxSeenDirs)
     // materialize before commit releases the stage cache, so consumers of
     // the returned frame read blocks instead of re-running the anti-join;
-    // localCheckpoint blocks are ContextCleaner-reclaimed on GC (no leak)
+    // localCheckpoint blocks are ContextCleaner-reclaimed on GC (no leak).
+    // Callers that DISCARD the result (store seeding) and cluster jobs
+    // that must survive executor loss (checkpoint blocks don't recompute)
+    // should use the staged form + commit() directly instead.
     val out = b.fresh.localCheckpoint(true)
     b.commit()
     out

@@ -84,8 +84,8 @@ object Plans {
     locally {
       val store = java.nio.file.Files.createTempDirectory("graft-plans-inc").toString
       val d = docs.select(col("doc_id"), col("text"))
-      graft.operators.Dedup.incrementalExact(
-        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
+      graft.operators.Dedup.incrementalExactStaged(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store).commit()
       graft.operators.Dedup
         .incrementalExactStaged(d.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", store)
@@ -96,9 +96,9 @@ object Plans {
     locally {
       val store = java.nio.file.Files.createTempDirectory("graft-plans-incmh").toString
       val d = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 400)
-      graft.operators.Dedup.incrementalMinhash(
+      graft.operators.Dedup.incrementalMinhashStaged(
         d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store,
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6).commit()
       graft.operators.Dedup
         .incrementalMinhashStaged(d.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", store, n = 3, bands = 4, rowsPerBand = 2,

@@ -203,6 +203,14 @@ class ConfigLoaderSpec extends AnyFunSuite {
     // disabled (or absent) -> no endpoint
     assert(loadText("[sink.all]\ntype = \"parquet\"\n")
       .toOption.get.prometheusAddr.isEmpty)
+    // addr matrix matches what Metrics.serve accepts: bare host ok (port
+    // defaults), bad port and unbracketed IPv6 rejected at config time
+    def prom(addr: String) = loadText(
+      s"[prometheus]\nenable = true\naddr = \"$addr\"\n")
+    assert(prom("localhost").toOption.get.prometheusAddr.contains("localhost"))
+    assert(prom("[::1]:2112").toOption.get.prometheusAddr.contains("[::1]:2112"))
+    assert(prom("localhost:http").swap.exists(_.contains("invalid port")))
+    assert(prom("::1").swap.exists(_.contains("bracketed")))
   }
 
   test("dedup stage: section loads with defaults, env override, validation") {

@@ -57,15 +57,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val store = java.nio.file.Files.createTempDirectory("graft-planshape-inc").toString
-    operators.Dedup.incrementalExact(
-      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
+    operators.Dedup.incrementalExactStaged(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store).commit()
     val pExact = operators.Dedup.incrementalExactStaged(
         d.filter(col("doc_id") % 2 === 1), "doc_id", "text", store)
       .fresh.queryExecution.executedPlan.toString
     val store2 = java.nio.file.Files.createTempDirectory("graft-planshape-incmh").toString
-    operators.Dedup.incrementalMinhash(
+    operators.Dedup.incrementalMinhashStaged(
       d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store2,
-      n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6).commit()
     val pMh = operators.Dedup.incrementalMinhashStaged(
         d.filter(col("doc_id") % 2 === 1), "doc_id", "text", store2,
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
