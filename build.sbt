@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output prints BARE (no sbt "[info] " decoration): the driver
+// parses the last `^{`-prefixed stdout line of `runMain graft.Bench` as the
+// official bench JSON, and the decoration broke that in r4 (rc:0 but
+// parsed:null). StdoutOutput passes the child's stdout/stderr straight
+// through to ours.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,9 +13,13 @@ import graft.sources.Transcripts
   * long scaling phase can hit the driver's time cap) and once complete at
   * the end. A consumer takes the LAST parseable line; a shutdown hook
   * additionally prints the most complete line if the JVM is terminated
-  * mid-run. The whole run degrades to fit `SPARK_GRAFT_BENCH_BUDGET_SEC`
-  * (default 1500): retry loops never start past the deadline and scaling
-  * rounds are cut when the remaining budget wouldn't cover them.
+  * mid-run. Every publish also writes the same JSON atomically to
+  * `BENCH_LATEST.json` (`SPARK_GRAFT_BENCH_OUT`) so a stdout-decoration or
+  * truncation mishap can never lose the artifact again. The whole run
+  * degrades to fit `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500): retry
+  * loops never start past the deadline, warm-ups and retry escalation stop
+  * past 60% of budget, and scaling rounds are cut when the remaining
+  * budget wouldn't cover them.
   *
   * Two parts:
   *
@@ -143,6 +147,24 @@ object Bench {
     def remainingSec: Double = (deadline - System.nanoTime()) / 1e9
     @volatile var latestJson: String = null
     @volatile var printedFinal = false
+    // Sidecar artifact (r4 VERDICT #1): the driver's stdout consumer can
+    // still lose the line to wrapper decoration or truncation, so every
+    // publish ALSO writes the same JSON to BENCH_LATEST.json — atomically
+    // (tmp + move) so a reader never sees a half-written file.
+    val sidecar = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json"))
+    def publish(json: String): Unit = {
+      latestJson = json
+      println(json); System.out.flush()
+      try {
+        val tmp = sidecar.resolveSibling(sidecar.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, sidecar,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () } // stdout copy already out
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!printedFinal && latestJson != null) {
         println(latestJson); System.out.flush()
@@ -155,10 +177,16 @@ object Bench {
     // JIT + codegen caches are hot and the timed numbers are the
     // steady-state a long-running cluster job sees (BENCH.md protocol),
     // not first-query JVM warmup
+    // r4 overran the budget (wall 1692s vs 1500s) partly because this loop
+    // had no deadline check: 57 queries × storm-slowed warm runs compound.
+    // Each warm query now checks the 60%-of-budget mark before starting —
+    // the warm-up buys steadiness, never completeness, so it is the first
+    // thing to go.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        if (remainingSec > 0.4 * budgetSec)
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // a failed query records the sentinel -1 (and lands in "failed") so
     // downstream consumers can't mistake breakage for a fast run.
@@ -179,8 +207,12 @@ object Bench {
     val singleShot = Set("q_dedup_ngram", "q_neardup_incremental")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
+      // budget degradation (r4 VERDICT #2): once 60% of the budget is
+      // spent, every remaining query drops to a single shot — the
+      // "always one iteration" artifact-completeness guarantee stays,
+      // but retry escalation stops compounding in a steal storm.
       def run(f: => Unit): Double =
-        if (singleShot(name))
+        if (singleShot(name) || remainingSec < 0.4 * budgetSec)
           robustMin(1, 2, needClean = 1, deadlineNanos = deadline)(f)
         else
           robustMin(queryIters, queryIters + 2, needClean = 2,
@@ -203,8 +235,7 @@ object Bench {
     // publish the per-query record NOW: if any later phase dies at the
     // driver's cap, this line has already crossed stdout (r3 lost the
     // whole artifact to a buffered end-of-run println)
-    latestJson = jsonLine("null")
-    println(latestJson); System.out.flush()
+    publish(jsonLine("null"))
 
     // materialize the deterministic transcript table once (untimed setup)
     Transcripts.synthesize(spark, benchTurns / 50, 50, numPartitions = 64)
@@ -262,8 +293,7 @@ object Bench {
         f""""budget_sec":$budgetSec,"wall_sec":${(System.nanoTime() - startNanos) / 1e9}%.1f,""" +
         f""""max_cores":$cpus,"max_cores_sec":$tMax%.3f,""" +
         f""""max_cores_rows_per_sec":${(benchTurns / tMax).toLong}}"""
-    latestJson = jsonLine(scaling)
-    println(latestJson); System.out.flush()
+    publish(jsonLine(scaling))
     printedFinal = true
   }
 }

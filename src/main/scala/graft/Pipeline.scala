@@ -209,41 +209,76 @@ object Pipeline {
     // used for the commit): content first introduced BY the rewrite must
     // not re-deliver when a later file repeats it.
     //
-    // KNOWN LIMIT (tombstone semantics): a rewrite that REMOVES content
-    // leaves its hashes in the store — the store holds hashes only, so it
-    // cannot know which of them the old file carried exclusively. If that
-    // content later arrives in a different file it stays suppressed even
-    // though no sink holds it any more. Retraction needs per-hash
-    // provenance (store (hash, src) and rewrite-on-invalidate) — the
-    // documented trade for an 8-byte-per-doc store; rewrites-with-removal
-    // are the rotation anomaly path, not the campaign path.
+    // RETRACTION (offset Delete on removal, collector.go:206-214): every
+    // store commit carries (content_h60, src-basename) provenance, and an
+    // invalidated file's exclusive hashes are rewritten OUT of the store
+    // before staging — its old delivery dirs are deleted below, so content
+    // only that file ever delivered must become deliverable again from
+    // whichever file next carries it. Hashes whose provenance is another
+    // (still-live) file, or pre-provenance store rows (src null), stay.
+    // Gated by dedup.retract-on-invalidate (default on).
+    //
+    // CRASH-REPLAY ATTRIBUTION WINDOW (documented, accepted): the within-
+    // run exact dedup attributes each surviving row to the
+    // lexicographically-lowest __dedup_id (uuid-prefixed src_file). If a
+    // crash lands between a sink batch-dir rename and the lineage commit,
+    // AND a new file with the same content arrives before replay, the
+    // replayed run can attribute the survivor to the NEW file — the
+    // content then exists in the old (renamed, never-rewritten) batch dir
+    // and the new file's dir: at-least-once in exactly that window. Any
+    // survivor choice over a candidate set that changed between runs can
+    // flip; the exactly-once guarantee is per content-addressed FILE
+    // delivery, and the window closes at the lineage commit.
     val invalidatedNames = invalidated.map(f => new Path(f).getName).toSet
     val dedupStage = cfg.dedup.map { dd =>
+      if (invalidatedNames.nonEmpty && dd.retractOnInvalidate)
+        operators.Dedup.retractSources(spark, dd.storeDir,
+          invalidatedNames.toSeq.sorted)
       def staged(rows: org.apache.spark.sql.DataFrame, compact: Boolean) = {
-        val withId = rows.withColumn("__dedup_id",
-          concat_ws("#", col("src_file"), col("conv_id"),
-            col("turn_idx").cast("string")))
+        // the dedup id is length-prefixed per field (and null-flagged), so
+        // no '#' inside conv_id — and no null — can make two distinct rows
+        // share an id (a shared id would drop BOTH rows when either loses
+        // a near-dup verdict, silently losing a distinct row)
+        def lp(c: org.apache.spark.sql.Column) =
+          when(c.isNull, lit("-:")).otherwise(
+            concat(length(c).cast("string"), lit(":"), c))
+        val withId = rows
+          .withColumn("__dedup_id",
+            concat(lp(col("src_file")), lit("#"), lp(col("conv_id")),
+              lit("#"), col("turn_idx").cast("string")))
+          .withColumn("__src", substring_index(col("src_file"), "/", -1))
         val maxDirs = if (compact) 16 else Int.MaxValue
         if (dd.mode == "minhash")
           operators.Dedup.incrementalMinhashStaged(withId, "__dedup_id", "text",
             dd.storeDir, dd.ngram, dd.bands, dd.rowsPerBand, dd.threshold,
-            maxSeenDirs = maxDirs)
+            maxSeenDirs = maxDirs, srcCol = Some("__src"))
         else
           operators.Dedup.incrementalExactStaged(withId, "__dedup_id", "text",
-            dd.storeDir, maxSeenDirs = maxDirs)
+            dd.storeDir, maxSeenDirs = maxDirs, srcCol = Some("__src"))
       }
       val fromInvalidated =
         if (invalidatedNames.isEmpty) lit(false)
         else substring_index(col("src_file"), "/", -1)
           .isin(invalidatedNames.toSeq: _*)
+      val bypassRows = turns.filter(fromInvalidated)
       val batch = staged(turns.filter(!fromInvalidated), compact = true)
       // the bypass batch is staged AFTER the main one and never compacts,
       // so it cannot delete store dirs the main batch's plan pins
       val bypassBatch =
         if (invalidatedNames.isEmpty) None
-        else Some(staged(turns.filter(fromInvalidated), compact = false))
-      val rows = batch.fresh.drop("__dedup_id")
-        .unionByName(turns.filter(fromInvalidated))
+        else Some(staged(bypassRows, compact = false))
+      // content introduced by the rewrite AND simultaneously present in a
+      // new file would deliver twice (the bypass re-delivers in full; the
+      // main batch only anti-joins the STORE) — drop the main batch's copy
+      // of any content the bypass carries this run
+      val mainKept =
+        if (invalidatedNames.isEmpty) batch.fresh.drop("__dedup_id", "__src")
+        else batch.fresh.drop("__dedup_id", "__src").join(
+          bypassRows.select(
+            graft.functions.Hashing.sha60(col("text")).as("__bp_h60")).distinct(),
+          graft.functions.Hashing.sha60(col("text")) === col("__bp_h60"),
+          "left_anti")
+      val rows = mainKept.unionByName(bypassRows)
       (rows, () => { batch.commit(); bypassBatch.foreach(_.commit()) })
     }
     val toRoute = dedupStage.map(_._1).getOrElse(turns)
@@ -293,6 +328,13 @@ object Pipeline {
       // (batch, route_key), then one atomic rename per NEW batch dir.
       // Already-present dirs (crash-replay window) are never rewritten,
       // whatever the current todo set looks like.
+      //
+      // Wire sinks (rule.url set) additionally POST the just-committed
+      // rows over HTTP AFTER the renames — at-most-once per batch dir: a
+      // crash between rename and POST is a missed flush on replay, the
+      // reference's logged-and-dropped flush analogue — and their exact
+      // per-item accounting lands in `wireAcc` for the lineage rows.
+      val wireAcc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       cfg.sinks.foreach { rule =>
         val sinkRoot = new Path(fsRoot, rule.name)
         val existing: Set[String] =
@@ -333,6 +375,40 @@ object Pipeline {
                 s"sink commit rename failed for ${rule.name}/batch=$b")
           }
           fs.delete(staging, true)
+
+          // wire flush: read the committed dirs back (no re-parse — the
+          // parquet IS the attempted row set, fan-out included) and POST
+          rule.url.foreach { wireUrl =>
+            val committed = newBids.toSeq.sorted
+              .map(b => new Path(sinkRoot, s"batch=$b").toString)
+              .filter(p => fs.exists(new Path(p)))
+            if (committed.nonEmpty) {
+              // basePath anchors partition discovery over the subset of
+              // batch= dirs (leaf roots alone conflict)
+              val rows = spark.read.option("basePath", sinkRoot.toString)
+                .parquet(committed: _*)
+              val doc =
+                if (rule.kind == "clickhouse")
+                  // the INSERT column shape (clickhouse.go:113):
+                  // (ts, host, labels, message) as JSONEachRow keys
+                  to_json(struct(col("ts"), col("host"), col("labels"),
+                    col("message")))
+                else
+                  // the BulkIndexer doc (opensearch.go:103-108)
+                  to_json(struct(
+                    date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+                      .as("@timestamp"),
+                    col("message"), col("host"), col("labels")))
+              val spec = graft.sinks.HttpSink.WireSpec(rule.kind, wireUrl,
+                rule.target, rule.user, rule.pass,
+                cfg.batchSize, cfg.batchIntervalMs)
+              wireAcc += graft.sinks.HttpSink.deliver(
+                rows.select(
+                  substring_index(col("src_file"), "/", -1).as("fname"),
+                  doc.as("doc")),
+                spec).withColumn("sink", lit(rule.name))
+            }
+          }
         }
       }
 
@@ -359,13 +435,26 @@ object Pipeline {
         .toDF("fname", "file", "contentHash")
       val sinkDf = cfg.sinks.map(_.name).toDF("sink")
       // the grid (not countsDf's keys): a sink that delivered zero rows
-      // still needs lineage entries, else its files would retry forever
-      val entriesDf = broadcast(fileDf).crossJoin(sinkDf)
+      // still needs lineage entries, else its files would retry forever.
+      // Wire-delivered sinks override the modeled counts with the EXACT
+      // per-item bulk outcomes: delivered = wire-accepted, failed =
+      // modeled-rejected (never attempted) + wire-rejected. A (sink, file)
+      // with no wire row this run (replay of an already-renamed dir — the
+      // at-most-once window) falls back to the modeled count.
+      val grid = broadcast(fileDf).crossJoin(sinkDf)
         .join(countsDf, Seq("sink", "fname"), "left")
+      val withWire =
+        if (wireAcc.isEmpty)
+          grid.withColumn("wd", lit(null).cast("long"))
+            .withColumn("wf", lit(null).cast("long"))
+        else grid.join(wireAcc.reduce(_ unionByName _),
+          Seq("sink", "fname"), "left")
+      val entriesDf = withWire
         .select(lit(runId).as("runId"), lit(snapId).as("snapshotId"),
           col("file"), col("sink"),
-          coalesce(col("n"), lit(0L)).as("rowsDelivered"),
-          coalesce(col("nf"), lit(0L)).as("rowsFailed"),
+          coalesce(col("wd"), col("n"), lit(0L)).as("rowsDelivered"),
+          (coalesce(col("nf"), lit(0L)) + coalesce(col("wf"), lit(0L)))
+            .as("rowsFailed"),
           col("contentHash"), lit(now).as("committedAtMs"))
       lineage.commitDf(entriesDf, runId)
       // dedup store publishes strictly AFTER the lineage commit (the

@@ -35,6 +35,7 @@ object ConfigLoader {
   sealed trait Value
   final case class S(v: String) extends Value
   final case class I(v: Long) extends Value
+  final case class F(v: Double) extends Value
   final case class B(v: Boolean) extends Value
   final case class A(v: Seq[String]) extends Value
 
@@ -55,6 +56,7 @@ object ConfigLoader {
     "collector.dedup.mode", "collector.dedup.store-dir",
     "collector.dedup.threshold", "collector.dedup.ngram",
     "collector.dedup.bands", "collector.dedup.rows-per-band",
+    "collector.dedup.retract-on-invalidate",
     "sink.batch-size", "sink.batch-interval",
     "prometheus.enable", "prometheus.addr")
 
@@ -62,7 +64,8 @@ object ConfigLoader {
     "GRAFT_" + key.toUpperCase.replace('.', '_').replace('-', '_')
 
   private val arrayKeys = Set("collector.include", "collector.exclude")
-  private val boolKeys = Set("collector.multiline.java", "prometheus.enable")
+  private val boolKeys = Set("collector.multiline.java", "prometheus.enable",
+    "collector.dedup.retract-on-invalidate")
   private val intKeys = Set("collector.salt-buckets",
     "collector.lineage-partitions", "sink.batch-size",
     "collector.workers", "collector.fingerprint-size",
@@ -168,6 +171,16 @@ object ConfigLoader {
       case Some(B(v)) => Right(v)
       case Some(other) => Left(s"$k: expected bool, got $other")
     }
+    def dbl(k: String, dflt: Double): Either[String, Double] = map.get(k) match {
+      case None => Right(dflt)
+      case Some(F(v)) => Right(v)
+      case Some(I(v)) => Right(v.toDouble)
+      // env/flag overrides arrive as S — parse, rejecting NaN/Inf here so
+      // range validators downstream see only ordered numbers
+      case Some(S(v)) => v.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+        .toRight(s"$k: invalid number '$v'")
+      case Some(other) => Left(s"$k: expected number, got $other")
+    }
   }
 
   private def build(kvs: Seq[(String, Value)]): Either[String, PipelineConfig] = {
@@ -183,7 +196,7 @@ object ConfigLoader {
       fpSize <- lk.int("collector.fingerprint-size", 64 * 1024)
       _ <- schedulerChecks(lk)
       promAddr <- prometheusChecks(lk)
-      _ <- batchChecks(lk)
+      batch <- batchChecks(lk)
       ml <- multiline(lk)
       dd <- dedupStage(lk)
       sinks <- sinkRules(kvs, lk)
@@ -205,7 +218,9 @@ object ConfigLoader {
       fingerprintSize = fpSize,
       labels = labels,
       dedup = dd,
-      prometheusAddr = promAddr)
+      prometheusAddr = promAddr,
+      batchSize = batch._1,
+      batchIntervalMs = batch._2)
   }
 
   /** The `[collector.dedup]` sub-section — an engine-side extension (no
@@ -221,13 +236,13 @@ object ConfigLoader {
     for {
       mode <- lk.str("collector.dedup.mode", "")
       dir <- lk.str("collector.dedup.store-dir", "")
-      thrS <- lk.str("collector.dedup.threshold", "0.8")
-      thr <- thrS.toDoubleOption
-        .toRight(s"collector.dedup.threshold: invalid number '$thrS'")
+      thr <- lk.dbl("collector.dedup.threshold", 0.8)
       ngram <- lk.int("collector.dedup.ngram", 3)
       bands <- lk.int("collector.dedup.bands", 4)
       rpb <- lk.int("collector.dedup.rows-per-band", 2)
-    } yield Some(graft.model.DedupStageSpec(mode, dir, thr, ngram, bands, rpb))
+      retract <- lk.bool("collector.dedup.retract-on-invalidate", dflt = true)
+    } yield Some(graft.model.DedupStageSpec(mode, dir, thr, ngram, bands, rpb,
+      retractOnInvalidate = retract))
   }
 
   /** poll-interval > 0 and workers >= 1 when set — validated for parity;
@@ -260,6 +275,11 @@ object ConfigLoader {
         // must be bracketed or serve would split them at the wrong colon
         val i = addr.lastIndexOf(':')
         if (i < 0) Right(())
+        // "[::1]" — bracketed IPv6 with no port: the last ':' is inside the
+        // brackets; serve treats the whole token as host, port 9090
+        else if (addr.indexOf(']', i) >= 0)
+          if (addr.startsWith("[") && addr.endsWith("]")) Right(())
+          else Left(s"prometheus.addr: malformed IPv6 literal '$addr'")
         else {
           val host = addr.substring(0, i)
           if (!addr.substring(i + 1).toIntOption.exists(p => p >= 0 && p <= 65535))
@@ -274,16 +294,17 @@ object ConfigLoader {
   } yield if (en) Some(addr) else None
 
   /** sink.batch-size > 0, sink.batch-interval > 0 when set — the reference
-    * validations (config.go:198-204); the engine's batching is lossless by
-    * design (COVERAGE.md §2.6), so the values are checked, not consumed.
+    * validations (config.go:198-204). The values are CONSUMED by the HTTP
+    * wire sinks (rows per bulk POST / max flush gap); the parquet/file
+    * flavors remain lossless-batch (COVERAGE.md §2.6). Yields (size, ms).
     */
-  private def batchChecks(lk: Lookup): Either[String, Unit] = for {
+  private def batchChecks(lk: Lookup): Either[String, (Int, Long)] = for {
     bs <- lk.int("sink.batch-size", 200)
     bi <- lk.str("sink.batch-interval", "2s")
     _ <- if (bs > 0) Right(()) else Left("sink.batch-size must be > 0")
     ms <- parseDuration(bi)
     _ <- if (ms > 0) Right(()) else Left("sink.batch-interval must be > 0")
-  } yield ()
+  } yield (bs, ms)
 
   /** The multiline sub-unmarshal incl. the Java preset (config.go:100-131)
     * and MultilineReader.Validate strictness (multline_reader.go:37-48:
@@ -323,7 +344,8 @@ object ConfigLoader {
     */
   private def sinkRules(kvs: Seq[(String, Value)], lk: Lookup): Either[String, Seq[SinkRule]] = {
     val names = mutable.LinkedHashSet.empty[String]
-    val re = "^sink\\.([^.]+)\\.(type|include|exclude|reject-where)$".r
+    val re = ("^sink\\.([^.]+)\\.(type|include|exclude|reject-where|url|" +
+      "index|table|database|user|password)$").r
     kvs.foreach {
       case (re(name, _), _) if name != "labels" => names += name
       case _ => ()
@@ -337,7 +359,26 @@ object ConfigLoader {
         inc <- lk.arr(s"sink.$n.include")
         exc <- lk.arr(s"sink.$n.exclude")
         rej <- lk.arr(s"sink.$n.reject-where")
-      } yield SinkRule(n, inc, exc, rej, kind)
+        // wire endpoint surface (opensearch.go:26 url/index/user/pass;
+        // clickhouse.go:26 addr/database/table/user/pass): the OS index or
+        // the CH [db.]table collapse into SinkRule.target
+        url <- lk.str(s"sink.$n.url", "")
+        index <- lk.str(s"sink.$n.index", "")
+        table <- lk.str(s"sink.$n.table", "")
+        database <- lk.str(s"sink.$n.database", "")
+        user <- lk.str(s"sink.$n.user", "")
+        pass <- lk.str(s"sink.$n.password", "")
+      } yield {
+        val target =
+          if (kind == "clickhouse")
+            if (table.nonEmpty && database.nonEmpty && !table.contains("."))
+              s"$database.$table"
+            else table
+          else index
+        SinkRule(n, inc, exc, rej, kind,
+          url = if (url.isEmpty) None else Some(url),
+          target = target, user = user, pass = pass)
+      }
       rule match {
         case Left(e) => return Left(e)
         case Right(r) => out += r
@@ -403,6 +444,7 @@ object ConfigLoader {
         for (it <- items.map(_.trim) if it.nonEmpty) parseValue(it) match {
           case Right(S(v)) => vals += v
           case Right(I(v)) => vals += v.toString
+          case Right(F(v)) => vals += v.toString
           case Right(B(v)) => vals += v.toString
           case Right(A(_)) => return Left("nested arrays are not supported")
           case Left(e) => return Left(e)
@@ -413,9 +455,11 @@ object ConfigLoader {
     else if (s == "true") Right(B(true))
     else if (s == "false") Right(B(false))
     else s.toLongOption.map(I(_): Value)
-      // bare floats (e.g. dedup threshold = 0.8) carry as strings; the
-      // consumer parses — no float Value variant needed for one key
-      .orElse(s.toDoubleOption.map(_ => S(s): Value))
+      // bare floats (e.g. dedup threshold = 0.8) are a typed variant: only
+      // keys read via Lookup.dbl accept them, so `separator = 1.5` is a
+      // config error ("expected string"), not a silent string "1.5"
+      .orElse(s.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+        .map(F(_): Value))
       .toRight(s"unparseable value '$s' (bare strings must be quoted)")
 
   private def parseQuoted(s: String): Either[String, (String, String)] = {

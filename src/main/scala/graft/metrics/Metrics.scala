@@ -111,6 +111,11 @@ object Metrics {
   def serve(addr: String, text: () => String): (Int, () => Unit) = {
     val (host, port) = addr.lastIndexOf(':') match {
       case -1 => (addr, 9090)
+      // a ']' AFTER the last ':' means that colon is inside the brackets —
+      // a port-less bracketed IPv6 literal like "[::1]", not host:port
+      // (previously "1]".toInt threw NumberFormatException)
+      case i if addr.indexOf(']', i) >= 0 =>
+        (addr.stripPrefix("[").stripSuffix("]"), 9090)
       case i =>
         // bracketed IPv6 ("[::1]:2112") unwraps for InetSocketAddress
         val h = addr.substring(0, i).stripPrefix("[").stripSuffix("]")

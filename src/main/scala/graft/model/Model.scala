@@ -80,7 +80,22 @@ final case class SinkRule(
       * writes the row shape the flavor models (K5/K6 shapes live in
       * Pipeline/Route); the kind is validated config surface.
       */
-    kind: String = "parquet"
+    kind: String = "parquet",
+    /** Wire endpoint base URL. When set on an `opensearch` or `clickhouse`
+      * sink, delivery additionally POSTs the committed rows over HTTP —
+      * OpenSearch `_bulk` NDJSON (opensearch.go:91-138) or the ClickHouse
+      * HTTP interface `INSERT ... FORMAT JSONEachRow` (clickhouse.go:36-44
+      * HTTP protocol branch) — with per-item NumFailed accounting feeding
+      * the lineage rows. Unset ⇒ the modeled row-shape delivery only.
+      */
+    url: Option[String] = None,
+    /** Wire target: the OpenSearch index, or the ClickHouse `[db.]table`. */
+    target: String = "",
+    /** Basic-auth credentials for the wire endpoint (osclient.Config
+      * Username/Password; ClickHouse HTTP accepts basic auth).
+      */
+    user: String = "",
+    pass: String = ""
 )
 
 /** Multiline assembly mode — the reference's four modes
@@ -177,7 +192,16 @@ final case class PipelineConfig(
       * (cmd/freader/main.go:69-84; prometheus.addr required by the
       * validation matrix, config.go:227-229). None ⇒ no endpoint.
       */
-    prometheusAddr: Option[String] = None
+    prometheusAddr: Option[String] = None,
+    /** Wire-sink flush size (sink.batch-size, config.go:198-200) — CONSUMED
+      * by the HTTP bulk delivery (rows per `_bulk` / INSERT POST); the
+      * parquet/file flavors remain lossless-batch (COVERAGE.md §2.6).
+      */
+    batchSize: Int = 200,
+    /** Wire-sink flush interval (sink.batch-interval) — an open partial
+      * batch flushes when this much time passed since the last flush.
+      */
+    batchIntervalMs: Long = 2000L
 ) {
   def validate(
       isDir: String => Boolean = graft.operators.PathFilter.localIsDir
@@ -198,6 +222,20 @@ final case class PipelineConfig(
       graft.operators.PathFilter.validateRoots(include, isDir).isLeft)
       Left(graft.operators.PathFilter.validateRoots(include, isDir)
         .left.getOrElse(""))
+    // wire-config completeness: the reference's New() preconditions
+    // (opensearch.go:26-28, clickhouse.go:27-29) — a half-configured wire
+    // sink is a config error, not a silent fallback to modeled delivery
+    else if (sinks.exists(s => s.kind == "opensearch" &&
+      (s.url.isDefined != s.target.nonEmpty)))
+      Left("opensearch url and index are required")
+    else if (sinks.exists(s => s.kind == "clickhouse" &&
+      s.url.isDefined && s.target.isEmpty))
+      Left("clickhouse addr and table are required")
+    else if (sinks.exists(s => s.url.isDefined &&
+      !Set("opensearch", "clickhouse").contains(s.kind)))
+      Left("sink url is only supported for opensearch/clickhouse kinds")
+    else if (batchSize < 1) Left("sink.batch-size must be > 0")
+    else if (batchIntervalMs < 1) Left("sink.batch-interval must be > 0")
     else dedup match {
       case Some(d) => d.validate().map(_ => this)
       case None => Right(this)
@@ -216,12 +254,21 @@ final case class DedupStageSpec(
     threshold: Double = 0.8,
     ngram: Int = 3,
     bands: Int = 4,
-    rowsPerBand: Int = 2) {
+    rowsPerBand: Int = 2,
+    /** Rewrite the store on file invalidation, dropping hashes whose only
+      * provenance was the invalidated file's old content — the analogue of
+      * freader's offset Delete on source removal (collector.go:206-214):
+      * content no sink holds any more must become deliverable again.
+      */
+    retractOnInvalidate: Boolean = true) {
   def validate(): Either[String, DedupStageSpec] =
     if (!Set("exact", "minhash").contains(mode))
       Left(s"unsupported dedup mode: $mode (exact | minhash)")
     else if (storeDir.isEmpty) Left("dedup store-dir is required")
-    else if (threshold <= 0.0 || threshold > 1.0)
+    // NaN fails BOTH ordered comparisons below, so it must be rejected
+    // explicitly — a NaN threshold would make the minhash Jaccard filter
+    // always-false and silently disable near-dup removal
+    else if (threshold.isNaN || threshold <= 0.0 || threshold > 1.0)
       Left("dedup threshold must be in (0, 1]")
     else if (ngram < 1 || bands < 1 || rowsPerBand < 1)
       Left("dedup ngram/bands/rows-per-band must be >= 1")

@@ -137,6 +137,8 @@ object Dedup {
   def incrementalExact(df: DataFrame, idCol: String, textCol: String,
       storeDir: String, maxSeenDirs: Int = 16): DataFrame = {
     val b = incrementalExactStaged(df, idCol, textCol, storeDir, maxSeenDirs)
+    // (no srcCol: callers outside the pipeline stage rarely have stable
+    // per-row provenance; their store rows carry src = null → irrevocable)
     // materialize before commit releases the stage cache, so consumers of
     // the returned frame read blocks instead of re-running the anti-join;
     // localCheckpoint blocks are ContextCleaner-reclaimed on GC (no leak).
@@ -151,26 +153,38 @@ object Dedup {
   /** [[incrementalExact]] with the store publish deferred to
     * `commit()` — see [[IncrementalBatch]] for the crash-ordering contract.
     */
+  /** `srcCol`: optional per-row provenance column (e.g. source-file
+    * basename) persisted alongside each committed hash as `src` — what
+    * [[retractSources]] matches to drop an invalidated source's exclusive
+    * hashes. None commits `src = null`: irrevocable rows, pre-provenance
+    * store compatible (mixed stores merge via parquet schema merging).
+    */
   def incrementalExactStaged(df: DataFrame, idCol: String, textCol: String,
-      storeDir: String, maxSeenDirs: Int = 16): IncrementalBatch = {
+      storeDir: String, maxSeenDirs: Int = 16,
+      srcCol: Option[String] = None): IncrementalBatch = {
     val spark = df.sparkSession
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     cleanTmp(fs, root)
     compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
-      spark.read.parquet(old.map(_.toString): _*).distinct()
+      spark.read.option("mergeSchema", "true")
+        .parquet(old.map(_.toString): _*).distinct()
         .write.mode("overwrite").parquet(tmp.toString)
     }
     val dirs = listSeen(fs, root).map(_.toString)
     val hashed = exactDeduped(df, idCol, textCol)
       .withColumn("content_h60", Hashing.sha60(col(textCol)))
     val fresh = (if (dirs.isEmpty) hashed
-      else hashed.join(spark.read.parquet(dirs: _*),
+      else hashed.join(
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+          .select("content_h60"),
         Seq("content_h60"), "left_anti")).cache()
+    val srcExpr = srcCol.map(col).getOrElse(lit(null)).cast("string").as("src")
     val commit = () => try {
       if (!fresh.isEmpty)
         commitSeen(fs, root)(tmp =>
-          fresh.select("content_h60").write.mode("overwrite").parquet(tmp.toString))
+          fresh.select(col("content_h60"), srcExpr)
+            .write.mode("overwrite").parquet(tmp.toString))
     } finally fresh.unpersist(false)
     IncrementalBatch(fresh.drop("content_h60"), commit)
   }
@@ -214,7 +228,8 @@ object Dedup {
     */
   def incrementalMinhashStaged(df: DataFrame, idCol: String, textCol: String,
       storeDir: String, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.8, maxSeenDirs: Int = 16): IncrementalBatch = {
+      threshold: Double = 0.8, maxSeenDirs: Int = 16,
+      srcCol: Option[String] = None): IncrementalBatch = {
     val spark = df.sparkSession
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -222,11 +237,12 @@ object Dedup {
     compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
       Seq("bands", "sets", "exact").foreach { part =>
         // stores written before the exact component existed lack the
-        // subdir — merge what exists, never fail on the gap
+        // subdir — merge what exists, never fail on the gap; mergeSchema
+        // unifies pre-provenance dirs (no src) with provenance dirs
         val srcs = old.filter(d => fs.exists(new Path(d, part)))
           .map(d => s"$d/$part")
         if (srcs.nonEmpty) {
-          val merged = spark.read.parquet(srcs: _*)
+          val merged = spark.read.option("mergeSchema", "true").parquet(srcs: _*)
           (if (part == "exact") merged.distinct() else merged)
             .write.mode("overwrite").parquet(new Path(tmp, part).toString)
         }
@@ -256,8 +272,12 @@ object Dedup {
     val fresh0 =
       if (seenDirs.isEmpty) localKeep
       else {
-        val oldBands = spark.read.parquet(seenDirs.map(d => s"$d/bands"): _*)
-        val oldSets = spark.read.parquet(seenDirs.map(d => s"$d/sets"): _*)
+        val oldBands = spark.read.option("mergeSchema", "true")
+          .parquet(seenDirs.map(d => s"$d/bands"): _*)
+          .select("id", "band", "bhash")
+        val oldSets = spark.read.option("mergeSchema", "true")
+          .parquet(seenDirs.map(d => s"$d/sets"): _*)
+          .select("id", "hs")
         val keepSets = sets.join(localKeep.select(col(idCol).as("id")),
           Seq("id"), "left_semi")
         val cand = bandRowsOf(keepSets, bands, rowsPerBand).as("l")
@@ -276,13 +296,18 @@ object Dedup {
     val fresh = fresh0.cache()
     val commit = () => try {
       if (!fresh.isEmpty) {
+        // provenance rides every component row so retractSources can
+        // rewrite all three in one pass (src = null without srcCol)
+        val srcExpr = srcCol.map(col).getOrElse(lit(null)).cast("string").as("src")
+        val freshSrc = fresh.select(col(idCol).as("id"), srcExpr)
         val freshSets = sets.join(fresh.select(col(idCol).as("id")),
           Seq("id"), "left_semi")
         commitSeen(fs, root) { tmp =>
-          bandRowsOf(freshSets, bands, rowsPerBand)
+          bandRowsOf(freshSets, bands, rowsPerBand).join(freshSrc, "id")
             .write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
-          freshSets.write.mode("overwrite").parquet(new Path(tmp, "sets").toString)
-          fresh.select(col("__h60").as("content_h60"))
+          freshSets.join(freshSrc, "id")
+            .write.mode("overwrite").parquet(new Path(tmp, "sets").toString)
+          fresh.select(col("__h60").as("content_h60"), srcExpr)
             .write.mode("overwrite").parquet(new Path(tmp, "exact").toString)
         }
       }
@@ -290,6 +315,51 @@ object Dedup {
       fresh.unpersist(false); unseen.unpersist(false); sets.unpersist(false)
     }
     IncrementalBatch(fresh.drop("__h60"), commit)
+  }
+
+  /** RETRACT a set of sources from an incremental store (exact or minhash
+    * layout, auto-detected): every store row whose `src` provenance is in
+    * `sources` is dropped, and the remainder is rewritten as ONE fresh
+    * atomically-renamed commit before the old dirs are deleted — the
+    * content-store analogue of freader deleting a removed file's offset row
+    * (internal/collector/collector.go:206-214). Rows with null `src`
+    * (pre-provenance commits, or batches staged without `srcCol`) are
+    * irrevocable and always survive. A crash between the merged commit and
+    * the old-dir deletes leaves duplicate surviving rows — harmless to the
+    * anti-join/band-join consumers, never a hole.
+    *
+    * Hashes a retracted file shared with a LIVE file keep the live file's
+    * row only if the live file introduced them first (the store holds one
+    * provenance row per hash — the introducing delivery); content whose
+    * sole delivery was the retracted file becomes deliverable again, which
+    * is the point: no sink holds it any more.
+    */
+  def retractSources(spark: SparkSession, storeDir: String,
+      sources: Seq[String]): Unit = {
+    if (sources.isEmpty) return
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = listSeen(fs, root)
+    if (dirs.isEmpty) return
+    def keep(dfm: DataFrame): DataFrame =
+      if (!dfm.columns.contains("src")) dfm
+      else dfm.filter(col("src").isNull || !col("src").isin(sources: _*))
+    val isMinhash = dirs.exists(d => fs.exists(new Path(d, "bands")))
+    commitSeen(fs, root) { tmp =>
+      if (isMinhash)
+        Seq("bands", "sets", "exact").foreach { part =>
+          val srcs = dirs.filter(d => fs.exists(new Path(d, part)))
+            .map(d => s"$d/$part")
+          if (srcs.nonEmpty)
+            keep(spark.read.option("mergeSchema", "true").parquet(srcs: _*))
+              .write.mode("overwrite").parquet(new Path(tmp, part).toString)
+        }
+      else
+        keep(spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(_.toString): _*))
+          .write.mode("overwrite").parquet(tmp.toString)
+    }
+    dirs.foreach(p => fs.delete(p, true))
   }
 
   /** Distinct shingles per doc (n-gram sets for Jaccard) — STRING form,
@@ -464,7 +534,7 @@ object Dedup {
     * [[ngramJaccard]]). See nearDupClusters for the scale analysis.
     * Returns (id, cluster, n_members) for ids appearing in any pair.
     */
-  def connectedComponents(pairs0: DataFrame): DataFrame = {
+  def connectedComponents(pairs0: DataFrame, maxRounds: Int = 50): DataFrame = {
     val pairs = pairs0.select(col("a"), col("b"))
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -472,7 +542,17 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      // rounds ≈ component diameter: near-dup families are shallow, so an
+      // unconverged round-50 graph is adversarial (one long chain = one
+      // Spark job per hop) — fail loudly instead of spinning
+      if (round >= maxRounds) throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxRounds rounds — " +
+          "component diameter exceeds the bound; for long-chain graphs use " +
+          "an alternating small-star/large-star variant (same join shape, " +
+          "O(log n) rounds) or raise maxRounds")
+      round += 1
       val nbrMin = edges.join(labels.select(col("id").as("b"), col("cluster").as("bc")), "b")
         .groupBy(col("a")).agg(min(col("bc")).as("nm"))
       val next = labels.join(nbrMin.select(col("a").as("id"), col("nm")), Seq("id"), "left")

@@ -1,0 +1,176 @@
+package graft.sinks
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HTTP wire delivery — the reference's remote sink clients re-expressed as
+  * a distributed Spark stage with exact per-item accounting:
+  *
+  *  - OpenSearch: NDJSON `_bulk` batches (action line + doc line per row,
+  *    the BulkIndexer payload — cmd/freader/sink/opensearch/opensearch.go:
+  *    91-138), per-item outcomes parsed from the bulk response's item
+  *    statuses; `NumFailed` = items with status ≥ 300 (stats.NumFailed).
+  *  - ClickHouse: the HTTP interface (clickhouse.go:36-44 selects
+  *    `ch.HTTP` for `scheme://` addrs) — `INSERT INTO t FORMAT JSONEachRow`
+  *    with one JSON row per line; the response is all-or-nothing per POST,
+  *    exactly PrepareBatch/Send (clickhouse.go:113-130).
+  *
+  * Spark-first shape: instead of one background goroutine with a channel
+  * (the reference's Batcher, sink/common/batch.go), every EXECUTOR partition
+  * batches and POSTs its own rows inside `mapPartitions` — N parallel
+  * clients on a cluster, no driver funnel — and returns per-source-file
+  * (delivered, failed) rows that the pipeline's lineage commit consumes.
+  * `batchSize` flushes a full buffer (Batcher.BatchSize); `batchIntervalMs`
+  * bounds how long a partial buffer may sit while the iterator is slow
+  * (Batcher.BatchInterval; with a saturated iterator the size trigger
+  * dominates, which is also true of the reference under load).
+  *
+  * Failure model: an unreachable endpoint or non-2xx response marks the
+  * whole batch failed (the reference logs-and-drops the flush,
+  * opensearch.go:62-66) — failures are COUNTED per row in the lineage,
+  * never thrown, so one dead remote cannot fail the run's other sinks.
+  */
+object HttpSink {
+
+  final case class WireSpec(
+      kind: String, // "opensearch" | "clickhouse"
+      url: String,
+      target: String, // OS index | CH [db.]table
+      user: String = "",
+      pass: String = "",
+      batchSize: Int = 200,
+      batchIntervalMs: Long = 2000L,
+      timeoutMs: Int = 15000)
+
+  private def jsonEsc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** POST one batch of rendered JSON docs; returns one ok-flag per doc, in
+    * order. Never throws — transport errors mark the batch failed.
+    */
+  def postBatch(spec: WireSpec, docs: IndexedSeq[String]): IndexedSeq[Boolean] = {
+    if (docs.isEmpty) return IndexedSeq.empty
+    val base = spec.url.stripSuffix("/")
+    val (urlStr, body, contentType) = spec.kind match {
+      case "clickhouse" =>
+        val q = java.net.URLEncoder.encode(
+          s"INSERT INTO ${spec.target} FORMAT JSONEachRow", "UTF-8")
+        (s"$base/?query=$q", docs.mkString("", "\n", "\n"), "text/plain")
+      case _ => // opensearch _bulk: action metadata line + source line
+        val sb = new StringBuilder
+        docs.foreach { d =>
+          sb.append(s"""{"index":{"_index":"${jsonEsc(spec.target)}"}}""")
+            .append('\n').append(d).append('\n')
+        }
+        (s"$base/_bulk", sb.toString, "application/x-ndjson")
+    }
+    try {
+      val conn = URI.create(urlStr).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(spec.timeoutMs)
+      conn.setReadTimeout(spec.timeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", contentType)
+      if (spec.user.nonEmpty) {
+        val cred = java.util.Base64.getEncoder.encodeToString(
+          s"${spec.user}:${spec.pass}".getBytes(StandardCharsets.UTF_8))
+        conn.setRequestProperty("Authorization", s"Basic $cred")
+      }
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+      val code = conn.getResponseCode
+      val respStream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val resp =
+        if (respStream == null) ""
+        else try new String(respStream.readAllBytes(), StandardCharsets.UTF_8)
+        finally respStream.close()
+      conn.disconnect()
+      if (code < 200 || code >= 300) docs.map(_ => false)
+      else spec.kind match {
+        case "clickhouse" => docs.map(_ => true) // all-or-nothing per POST
+        case _ => parseBulkResponse(resp, docs.size)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => docs.map(_ => false)
+    }
+  }
+
+  /** Per-item outcomes from an OpenSearch bulk response
+    * (`{"took":…,"errors":bool,"items":[{"index":{"status":201,…}},…]}`):
+    * `"errors":false` short-circuits to all-ok (the BulkIndexer fast path);
+    * otherwise item statuses are read in order — status < 300 is ok
+    * (BulkIndexer counts NumFailed from exactly these statuses,
+    * opensearch-go/opensearchutil). A malformed response (status count ≠
+    * item count) fails the whole batch — indistinguishable outcomes must
+    * count as failures, never as deliveries.
+    */
+  def parseBulkResponse(resp: String, n: Int): IndexedSeq[Boolean] = {
+    if (resp.replaceAll("\\s", "").contains("\"errors\":false"))
+      return IndexedSeq.fill(n)(true)
+    val statuses = "\"status\"\\s*:\\s*(\\d+)".r
+      .findAllMatchIn(resp).map(_.group(1).toInt).toIndexedSeq
+    if (statuses.size != n) IndexedSeq.fill(n)(false)
+    else statuses.map(_ < 300)
+  }
+
+  /** Deliver `(fname, doc)` rows over the wire, distributed: each partition
+    * batches up to `batchSize` docs (flushing early when `batchIntervalMs`
+    * elapsed since the last flush) and POSTs. Returns per-fname accounting
+    * `(fname, wire_delivered, wire_failed)` — exact, from per-item bulk
+    * outcomes; the caller joins it into its lineage rows. Accounting is
+    * aggregated inside the partition (a map of distinct fnames, which is
+    * bounded by the files in the batch), so the task heap never holds the
+    * partition's rows.
+    */
+  def deliver(docs: DataFrame, spec: WireSpec): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("fname").cast("string"), col("doc").cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val buf = mutable.ArrayBuffer.empty[(String, String)]
+        val acc = mutable.LinkedHashMap.empty[String, (Long, Long)]
+        var lastFlush = System.nanoTime()
+        def flush(): Unit = if (buf.nonEmpty) {
+          val oks = postBatch(spec, buf.map(_._2).toIndexedSeq)
+          var i = 0
+          while (i < buf.size) {
+            val f = buf(i)._1
+            val (d, x) = acc.getOrElse(f, (0L, 0L))
+            acc(f) = if (oks(i)) (d + 1, x) else (d, x + 1)
+            i += 1
+          }
+          buf.clear()
+          lastFlush = System.nanoTime()
+        }
+        it.foreach { r =>
+          buf += r
+          if (buf.size >= spec.batchSize ||
+            (System.nanoTime() - lastFlush) / 1000000L >= spec.batchIntervalMs)
+            flush()
+        }
+        flush()
+        acc.iterator.map { case (f, (d, x)) => (f, d, x) }
+      }
+      .toDF("fname", "wd", "wf")
+      .groupBy("fname")
+      .agg(sum("wd").as("wd"), sum("wf").as("wf"))
+  }
+}

@@ -18,8 +18,13 @@ import graft.operators.{Parse, Route, Segments}
   */
 object TranscriptStream {
 
-  /** Per-conversation streaming FSM state: the open buffer + next record idx. */
-  final case class SegState(buf: List[String], nextIdx: Int, lastTurn: Int)
+  /** Per-conversation streaming FSM state: the open buffer + next record
+    * idx + the cursor. `seedIdx` records where a seed-started conversation
+    * began (-1 = started strictly at turn 0), so later arrivals BELOW the
+    * seed — head turns the seeding permanently dropped — are detectable.
+    */
+  final case class SegState(buf: List[String], nextIdx: Int, lastTurn: Int,
+      seedIdx: Int = -1)
 
   final case class SegRecord(conv_id: String, record_idx: Int, record: String)
 
@@ -92,10 +97,21 @@ object TranscriptStream {
     * genuinely go missing, use [[assembleStreamIdleFlush]], whose timeout
     * drains gap-stranded rows instead of waiting forever.
     */
-  def assembleStream(turns: Dataset[Turn], spec: MultilineSpec): Dataset[SegRecord] = {
+  /** `seedCursor = false` keeps the STRICT 0-based cursor: a new
+    * conversation's rows park until turn 0 arrives, so no head turn can
+    * ever be dropped (at the cost of withholding all output from sources
+    * whose indices don't start at 0). `droppedBelowSeed`, when given,
+    * counts rows a seed-started conversation dropped because they arrived
+    * below its seed — the observable signal that seeding lost head turns.
+    */
+  def assembleStream(turns: Dataset[Turn], spec: MultilineSpec,
+      seedCursor: Boolean = true,
+      droppedBelowSeed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SegRecord] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)
-      .transformWithState(new SegmentProcessor(spec, None),
+      .transformWithState(
+        new SegmentProcessor(spec, None, seedCursor, droppedBelowSeed),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -113,10 +129,13 @@ object TranscriptStream {
     * (`spark.sql.streaming.stateStore.providerClass`).
     */
   def assembleStreamIdleFlush(turns: Dataset[Turn], spec: MultilineSpec,
-      idleTimeoutMs: Long): Dataset[SegRecord] = {
+      idleTimeoutMs: Long, seedCursor: Boolean = true,
+      droppedBelowSeed: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SegRecord] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)
-      .transformWithState(new SegmentProcessor(spec, Some(idleTimeoutMs)),
+      .transformWithState(
+        new SegmentProcessor(spec, Some(idleTimeoutMs), seedCursor, droppedBelowSeed),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -126,7 +145,9 @@ object TranscriptStream {
     * is set (requires `TimeMode.ProcessingTime`; pass `None` with
     * `TimeMode.None` for the exactly-once no-flush flavor).
     */
-  final class SegmentProcessor(spec: MultilineSpec, idleTimeoutMs: Option[Long])
+  final class SegmentProcessor(spec: MultilineSpec, idleTimeoutMs: Option[Long],
+      seedCursor: Boolean = true,
+      droppedBelowSeed: Option[org.apache.spark.util.LongAccumulator] = None)
       extends StatefulProcessor[String, Turn, SegRecord] {
     @transient private var st: ValueState[SegState] = _
     @transient private var pending: MapState[Int, String] = _
@@ -147,10 +168,15 @@ object TranscriptStream {
       val cur = current
       // park arrivals in state one row at a time (replays of committed
       // turns are dropped), then feed the FSM the contiguous prefix —
-      // the task heap never holds the batch
+      // the task heap never holds the batch. A row at or below a
+      // seed-started conversation's seed is a head turn the seeding
+      // dropped — count it so the loss is observable (it is invisible in
+      // the output otherwise: the assembled record simply lacks its head).
       var minIdx = Int.MaxValue
       it.foreach { t =>
         if (t.turn_idx > cur.lastTurn) pending.updateValue(t.turn_idx, t.text)
+        else if (cur.seedIdx >= 0 && t.turn_idx <= cur.seedIdx)
+          droppedBelowSeed.foreach(_.add(1L))
         if (t.turn_idx < minIdx) minIdx = t.turn_idx
       }
       val fsm = new Segments.Fsm(spec)
@@ -161,20 +187,25 @@ object TranscriptStream {
       // come. The cost is explicit: if a 0-based conversation's very
       // first batch is missing its earliest turns (still in flight), a
       // later arrival below the seed is DROPPED — lost from the
-      // assembled record, not duplicated. The trade chosen here (per the
-      // reference's timeout-flush philosophy) is to degrade loudly with
-      // flowing records rather than silently withhold all output; feed
-      // conversations whose turn-0 ordering matters through a source
-      // that delivers the first turn first.
+      // assembled record, not duplicated, and counted in
+      // `droppedBelowSeed`. The trade chosen here (per the reference's
+      // timeout-flush philosophy) is to degrade loudly with flowing
+      // records rather than silently withhold all output; sources whose
+      // turn-0 ordering matters should pass `seedCursor = false` to keep
+      // the strict cursor instead.
+      val seeded = seedCursor && isNew && minIdx != Int.MaxValue && minIdx > 0
       var last =
-        if (isNew && minIdx != Int.MaxValue) minIdx - 1 else cur.lastTurn
+        if (seedCursor && isNew && minIdx != Int.MaxValue) minIdx - 1
+        else cur.lastTurn
+      val seedIdx = if (isNew) { if (seeded) last else -1 } else cur.seedIdx
       while (pending.containsKey(last + 1)) {
         fsm.write(pending.getValue(last + 1))
         pending.removeKey(last + 1)
         last += 1
       }
       val recs = fsm.drain()
-      st.update(SegState(fsm.bufferLines.toList, cur.nextIdx + recs.size, last))
+      st.update(SegState(fsm.bufferLines.toList, cur.nextIdx + recs.size, last,
+        seedIdx))
       idleTimeoutMs.foreach { ms =>
         // re-arm the idle timer: data arrived, so the clock restarts
         getHandle.listTimers().foreach(getHandle.deleteTimer)
@@ -206,7 +237,7 @@ object TranscriptStream {
         val last = if (stranded.nonEmpty) stranded.max else cur.lastTurn
         // a line arriving later starts a fresh record past the flush
         // (the at-least-once split)
-        st.update(SegState(Nil, cur.nextIdx + recs.size, last))
+        st.update(SegState(Nil, cur.nextIdx + recs.size, last, cur.seedIdx))
         recs.iterator.zipWithIndex.map { case (r, i) =>
           SegRecord(conv, cur.nextIdx + i, r)
         }

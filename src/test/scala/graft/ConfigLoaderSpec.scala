@@ -211,6 +211,10 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(prom("[::1]:2112").toOption.get.prometheusAddr.contains("[::1]:2112"))
     assert(prom("localhost:http").swap.exists(_.contains("invalid port")))
     assert(prom("::1").swap.exists(_.contains("bracketed")))
+    // bracketed IPv6 WITHOUT a port is a valid host (port defaults), not
+    // an 'invalid port' — serve treats "[::1]" as host "::1", port 9090
+    assert(prom("[::1]").toOption.exists(_.prometheusAddr.contains("[::1]")))
+    assert(prom("[::1]junk").swap.exists(_.contains("malformed IPv6")))
   }
 
   test("dedup stage: section loads with defaults, env override, validation") {
@@ -243,6 +247,79 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(loadText(
       "[collector.dedup]\nmode = \"exact\"\nstore-dir = \"/tmp/x\"\nthreshold = 1.5\n")
       .swap.exists(_.contains("threshold")))
+  }
+
+  test("typed floats: only double-consuming keys accept them; NaN rejected everywhere") {
+    // bare float for a string key is a config ERROR, not the string "1.5"
+    assert(loadText("[collector]\nseparator = 1.5\n")
+      .swap.exists(_.contains("expected string")))
+    // the float VALUE flows into the dedup threshold (F variant)
+    val cfg = loadText(
+      "[collector.dedup]\nmode = \"minhash\"\nstore-dir = \"/tmp/d\"\nthreshold = 0.75\n")
+      .toOption.get
+    assert(cfg.dedup.get.threshold == 0.75)
+    // env overrides arrive as strings and parse through the same gate
+    val cfg2 = loadText(
+      "[collector.dedup]\nmode = \"minhash\"\nstore-dir = \"/tmp/d\"\n",
+      env = Map("GRAFT_COLLECTOR_DEDUP_THRESHOLD" -> "0.9")).toOption.get
+    assert(cfg2.dedup.get.threshold == 0.9)
+    assert(loadText(
+      "[collector.dedup]\nmode = \"minhash\"\nstore-dir = \"/tmp/d\"\n",
+      env = Map("GRAFT_COLLECTOR_DEDUP_THRESHOLD" -> "NaN"))
+      .swap.exists(_.contains("invalid number")))
+    // a NaN that reaches the spec directly is rejected by validate (NaN
+    // fails both ordered comparisons — it must not disable the filter)
+    assert(graft.model.DedupStageSpec("minhash", "/tmp/d", Double.NaN)
+      .validate().swap.exists(_.contains("threshold")))
+    // retract-on-invalidate is a bool key, default true
+    assert(cfg.dedup.get.retractOnInvalidate)
+    assert(loadText(
+      "[collector.dedup]\nmode = \"exact\"\nstore-dir = \"/tmp/d\"\nretract-on-invalidate = false\n")
+      .toOption.get.dedup.get.retractOnInvalidate == false)
+  }
+
+  test("wire sink surface: url/index/table/database/user load; half-config rejected; batch keys consumed") {
+    val cfg = loadText(
+      """[sink]
+        |batch-size = 64
+        |batch-interval = "750ms"
+        |
+        |[sink.os]
+        |type = "opensearch"
+        |url = "http://127.0.0.1:9200"
+        |index = "logs-graft"
+        |user = "u"
+        |password = "p"
+        |
+        |[sink.ch]
+        |type = "clickhouse"
+        |url = "http://127.0.0.1:8123"
+        |database = "logs"
+        |table = "freader_logs"
+        |""".stripMargin).toOption.get
+    assert(cfg.batchSize == 64 && cfg.batchIntervalMs == 750L)
+    val os = cfg.sinks.find(_.name == "os").get
+    assert(os.url.contains("http://127.0.0.1:9200") && os.target == "logs-graft")
+    assert(os.user == "u" && os.pass == "p")
+    val ch = cfg.sinks.find(_.name == "ch").get
+    assert(ch.url.contains("http://127.0.0.1:8123") && ch.target == "logs.freader_logs")
+    // a sink section with ONLY wire keys still registers the sink
+    assert(loadText(
+      """[sink.w]
+        |type = "opensearch"
+        |url = "http://h:1"
+        |index = "i"
+        |""".stripMargin).toOption.get.sinks.map(_.name) == Seq("w"))
+    // the reference's New() preconditions (opensearch.go:26, clickhouse.go:27)
+    assert(loadText(
+      "[sink.os]\ntype = \"opensearch\"\nurl = \"http://h:1\"\n")
+      .swap.exists(_.contains("opensearch url and index")))
+    assert(loadText(
+      "[sink.ch]\ntype = \"clickhouse\"\nurl = \"http://h:1\"\n")
+      .swap.exists(_.contains("clickhouse addr and table")))
+    assert(loadText(
+      "[sink.p]\ntype = \"parquet\"\nurl = \"http://h:1\"\n")
+      .swap.exists(_.contains("only supported for opensearch/clickhouse")))
   }
 
   test("duration grammar (Go time.ParseDuration subset)") {

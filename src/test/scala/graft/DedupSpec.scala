@@ -50,6 +50,74 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.contains((3L, 1003L)) && lsh.contains((5L, 1005L)))
   }
 
+  test("connectedComponents: bounded rounds — a deep chain throws at a low cap, converges under the default") {
+    // one 12-node chain: min-label propagation needs ~11 rounds
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 3).count()
+    }
+    assert(ex.getMessage.contains("small-star"))
+    val labels = Dedup.connectedComponents(chain)
+      .select("id", "cluster", "n_members").as[(Long, Long, Long)].collect()
+    assert(labels.length == 12)
+    assert(labels.forall { case (_, c, n) => c == 0L && n == 12L })
+  }
+
+  test("retractSources (exact store): only the retracted source's exclusive hashes reopen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retract").toString
+    def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (s"$src#$i", t, src) }.toDF("id", "text", "src")
+    // f1 introduces T1, T2; f2 then carries T2 (suppressed), introduces T3
+    val b1 = Dedup.incrementalExactStaged(batch("f1", Seq("T1 alpha", "T2 beta")),
+      "id", "text", dir, srcCol = Some("src"))
+    assert(b1.fresh.count() == 2); b1.commit()
+    val b2 = Dedup.incrementalExactStaged(batch("f2", Seq("T2 beta", "T3 gamma")),
+      "id", "text", dir, srcCol = Some("src"))
+    assert(b2.fresh.select("text").as[String].collect().toSet == Set("T3 gamma"))
+    b2.commit()
+
+    // retract f1: T1 and T2 reopen (their ONLY provenance row is f1 — f2's
+    // suppressed copy never committed), T3 stays seen
+    Dedup.retractSources(spark, dir, Seq("f1"))
+    val b3 = Dedup.incrementalExactStaged(
+      batch("f3", Seq("T1 alpha", "T2 beta", "T3 gamma")),
+      "id", "text", dir, srcCol = Some("src"))
+    assert(b3.fresh.select("text").as[String].collect().toSet
+      == Set("T1 alpha", "T2 beta"))
+    b3.commit()
+    // and the rewritten store still works incrementally
+    val b4 = Dedup.incrementalExactStaged(batch("f4", Seq("T1 alpha", "T4 delta")),
+      "id", "text", dir, srcCol = Some("src"))
+    assert(b4.fresh.select("text").as[String].collect().toSet == Set("T4 delta"))
+  }
+
+  test("retractSources (minhash store): bands/sets/exact all drop the retracted source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retract-mh").toString
+    val longA = "alpha " + (0 until 15).map(i => s"w$i").mkString(" ")
+    val longB = "bravo " + (0 until 15).map(i => s"v$i").mkString(" ")
+    def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (s"$src#$i", t, src) }.toDF("id", "text", "src")
+    val b1 = Dedup.incrementalMinhashStaged(batch("f1", Seq(longA)),
+      "id", "text", dir, bands = 8, rowsPerBand = 2, threshold = 0.6,
+      srcCol = Some("src"))
+    assert(b1.fresh.count() == 1); b1.commit()
+    // a near-dup of longA from f2 is dropped cross-batch
+    val b2 = Dedup.incrementalMinhashStaged(batch("f2", Seq(longA + " tail tail", longB)),
+      "id", "text", dir, bands = 8, rowsPerBand = 2, threshold = 0.6,
+      srcCol = Some("src"))
+    assert(b2.fresh.select("text").as[String].collect().toSet == Set(longB))
+    b2.commit()
+
+    Dedup.retractSources(spark, dir, Seq("f1"))
+    // longA's state (exact hash, bands, sets) is gone: both the exact
+    // replay and the near-dup now pass; longB (src f2) stays suppressed
+    val b3 = Dedup.incrementalMinhashStaged(
+      batch("f3", Seq(longA, longB)),
+      "id", "text", dir, bands = 8, rowsPerBand = 2, threshold = 0.6,
+      srcCol = Some("src"))
+    assert(b3.fresh.select("text").as[String].collect().toSet == Set(longA))
+  }
+
   test("hashed shingle sets equal sha60-of-string shingles in size (no in-doc collisions here)") {
     val strs = Dedup.shingleSets(docs, "doc_id", "text", 3)
       .select($"id", size($"sh").as("n")).as[(Long, Int)].collect().toMap

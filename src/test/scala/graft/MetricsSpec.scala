@@ -71,4 +71,17 @@ class MetricsSpec extends AnyFunSuite {
       assert(after.contains("""freader_sink_enqueued_total{sink="all"} 70"""))
     } finally stop()
   }
+
+  test("serve accepts a bracketed IPv6 literal without a port (no NumberFormatException)") {
+    // "[::1]" = host ::1, default port 9090; a busy/absent ::1 may refuse
+    // the BIND, but the ADDRESS must parse — the regression was
+    // "1]".toInt throwing before any bind was attempted
+    try {
+      val (_, stop) = Metrics.serve("[::1]", () => "")
+      stop()
+    } catch {
+      case _: java.net.BindException => () // parse succeeded; bind is env-dependent
+      case _: java.net.SocketException => ()
+    }
+  }
 }

@@ -456,6 +456,137 @@ class PipelineSpec extends AnyFunSuite {
     assert(lineage.readAll().map(_.file).distinct.toSet == keep.toSet)
   }
 
+  test("HTTP wire sink: delivered+failed in lineage match the remote's bulk outcomes exactly") {
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.atomic.AtomicLong
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val accepted = new AtomicLong; val rejected = new AtomicLong
+    val posts = new AtomicLong
+    // fake _bulk endpoint rejecting err-status docs per item (429)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        posts.incrementAndGet()
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val docs = body.split("\n").filter(_.nonEmpty).grouped(2).map(_.last).toSeq
+        val items = docs.map { d =>
+          if (d.contains("status=err")) {
+            rejected.incrementAndGet(); """{"index":{"status":429}}"""
+          } else { accepted.incrementAndGet(); """{"index":{"status":201}}""" }
+        }
+        val resp =
+          s"""{"took":1,"errors":${docs.exists(_.contains("status=err"))},"items":[${items.mkString(",")}]}"""
+            .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(resp) finally os.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = tmp()
+      val table = new SnapshotTable(spark, s"$root/table")
+      val lineage = new LineageStore(spark, s"$root/lineage")
+      val out = s"$root/sinks"
+      val wcfg = PipelineConfig(
+        sinks = Seq(SinkRule("wire", kind = "opensearch",
+          url = Some(url), target = "logs-graft")),
+        batchSize = 7) // small batches: several POSTs per partition
+      table.append(Transcripts.synthesize(spark, numConvs = 12, turnsPerConv = 8).toDF())
+      val r = Pipeline.run(spark, table, lineage, wcfg, out)
+
+      // the remote's own per-item accounting IS the lineage accounting
+      assert(rejected.get() > 0, "fixture must produce remote-rejected docs")
+      assert(r.perSinkDelivered("wire") == accepted.get())
+      assert(r.perSinkFailed("wire") == rejected.get())
+      // attempted (rows in the committed dirs, fan-out included) = d + f
+      assert(sinkRows(out, "wire") == accepted.get() + rejected.get())
+      val entries = lineage.readAll().filter(_.sink == "wire")
+      assert(entries.map(_.rowsDelivered).sum == accepted.get())
+      assert(entries.map(_.rowsFailed).sum == rejected.get())
+      assert(posts.get() >= sinkRows(out, "wire") / 7)
+
+      // replay: committed batch dirs are never re-POSTed
+      val postsBefore = posts.get()
+      val r2 = Pipeline.run(spark, table, lineage, wcfg, out)
+      assert(r2.processedFiles.isEmpty && posts.get() == postsBefore)
+    } finally server.stop(0)
+  }
+
+  test("dedup retraction: content removed by a rewrite re-delivers from a later new file") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def campaign(retract: Boolean): (Long, Long) = {
+      val root = tmp()
+      val dcfg = PipelineConfig(
+        sinks = Seq(SinkRule("all", kind = "parquet")),
+        dedup = Some(graft.model.DedupStageSpec("exact", s"$root/store",
+          retractOnInvalidate = retract)))
+      val table = new SnapshotTable(spark, s"$root/table")
+      val lineage = new LineageStore(spark, s"$root/lineage")
+      val out = s"$root/sinks"
+      table.append(Transcripts.synthesize(spark, numConvs = 6, turnsPerConv = 6).toDF())
+      val r1 = Pipeline.run(spark, table, lineage, dcfg, out)
+
+      // rewrite one file in place REMOVING one conversation entirely;
+      // texts unique to the victim file are what the rewrite removed
+      val victim = r1.processedFiles.head
+      val oldRows = spark.read.parquet(victim)
+      val removedConv = oldRows.select("conv_id").distinct()
+        .orderBy("conv_id").head.getString(0)
+      val others = r1.processedFiles.tail
+      val elsewhere =
+        if (others.isEmpty) Set.empty[String]
+        else spark.read.parquet(others: _*).select("text")
+          .distinct().collect().map(_.getString(0)).toSet
+      val keptRows = oldRows.filter(col("conv_id") =!= removedConv)
+      val keptTexts = keptRows.select("text").distinct()
+        .collect().map(_.getString(0)).toSet
+      // truly removed = nowhere else in the corpus after the rewrite
+      val removedTexts = oldRows.filter(col("conv_id") === removedConv)
+        .select("text").distinct().collect().map(_.getString(0))
+        .filter(t => t.nonEmpty && !elsewhere(t) && !keptTexts(t))
+      assert(removedTexts.nonEmpty, "fixture needs texts unique to the victim")
+      val tmpOut = s"$root/replacement"
+      keptRows.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val fs = new Path(victim).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val newPart = fs.listStatus(new Path(tmpOut))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.delete(new Path(victim), false)
+      require(fs.rename(newPart, new Path(victim)))
+      val r2 = Pipeline.run(spark, table, lineage, dcfg, out)
+      assert(r2.invalidatedFiles == Seq(victim))
+
+      // a NEW file later carries exactly the removed texts
+      val seed = Transcripts.synthesize(spark, numConvs = 1, turnsPerConv = removedTexts.size)
+        .toDF().withColumn("conv_id", lit("carrier-0001"))
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val w = Window.orderBy("turn_idx")
+      val carrier = seed.withColumn("__rn", row_number().over(w) - 1)
+        .withColumn("text", org.apache.spark.sql.functions
+          .element_at(org.apache.spark.sql.functions.typedLit(removedTexts.toSeq),
+            col("__rn") + 1))
+        .drop("__rn")
+      table.append(carrier)
+      val r3 = Pipeline.run(spark, table, lineage, dcfg, out)
+      // replay afterwards is always a no-op
+      val r4 = Pipeline.run(spark, table, lineage, dcfg, out)
+      assert(r4.processedFiles.isEmpty)
+      // how many of the removed texts made it back into the sink?
+      val sinkTexts = spark.read.parquet(s"$out/all")
+        .filter(col("src_file").contains(new Path(r3.processedFiles.head).getName))
+        .select("message").distinct().collect().map(_.getString(0)).toSet
+      (removedTexts.count(sinkTexts), r3.perSinkDelivered("all"))
+    }
+    val (redelivered, n) = campaign(retract = true)
+    assert(redelivered > 0 && n > 0,
+      "retraction must make rewrite-removed content deliverable again")
+    val (suppressed, _) = campaign(retract = false)
+    assert(suppressed == 0,
+      "without retraction the store keeps suppressing removed content (the documented limit)")
+  }
+
   test("a lineage store written before the rowsFailed column stays readable") {
     val root = tmp()
     // hand-write a commit dir with the PRE-rowsFailed schema (7 columns)

@@ -92,6 +92,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seed drops are observable; seedCursor=false keeps the strict 0-based cursor") {
+    implicit val sqlCtx = spark.sqlContext
+    // flavor A: seeded (default) with the drop counter — a 0-based
+    // conversation whose head arrives AFTER the seed loses it, COUNTED
+    val drops = spark.sparkContext.longAccumulator("seed-drops")
+    val in = MemoryStream[Turn]
+    val spec = MultilineSpec(MultilineMode.HaltBefore, "^(INFO|CALL)")
+    val q = TranscriptStream.assembleStream(in.toDS(), spec,
+      droppedBelowSeed = Some(drops))
+      .writeStream.format("memory").queryName("seed_obs_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // first batch reordered: [2,3] land before [0,1] — seed = 1
+      in.addData(turn("c1", 2, "INFO b"), turn("c1", 3, "detail b"))
+      q.processAllAvailable()
+      assert(drops.value == 0)
+      // the head turns arrive late: below the seed → dropped AND counted
+      in.addData(turn("c1", 0, "INFO a"), turn("c1", 1, "detail a"))
+      q.processAllAvailable()
+      assert(drops.value == 2)
+      // a legit replay of an already-consumed turn is NOT a seed drop
+      in.addData(turn("c1", 2, "INFO b"))
+      q.processAllAvailable()
+      assert(drops.value == 2)
+    } finally q.stop()
+
+    // flavor B: strict cursor — the same arrival order loses nothing;
+    // rows park until turn 0 arrives, then assemble in full order
+    val in2 = MemoryStream[Turn]
+    val q2 = TranscriptStream.assembleStream(in2.toDS(), spec, seedCursor = false)
+      .writeStream.format("memory").queryName("seed_strict_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in2.addData(turn("s1", 2, "INFO b"), turn("s1", 3, "detail b"))
+      q2.processAllAvailable()
+      assert(spark.table("seed_strict_out").count() == 0) // parked, not emitted
+      in2.addData(turn("s1", 0, "INFO a"), turn("s1", 1, "detail a"))
+      q2.processAllAvailable()
+      val rows = spark.table("seed_strict_out").as[(String, Int, String)].collect().toSet
+      assert(rows == Set(("s1", 0, "INFO a\ndetail a"))) // head intact, INFO b open
+    } finally q2.stop()
+  }
+
   test("a backfill-sized conversation in one batch streams through the FSM") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
