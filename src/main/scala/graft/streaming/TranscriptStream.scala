@@ -74,6 +74,50 @@ object TranscriptStream {
     deduped.drop("__h60").as[Turn]
   }
 
+  /** Streaming NEAR-dup dedup — the in-motion face of the incremental
+    * MinHash store ([[graft.operators.Dedup.incrementalMinhashStaged]]):
+    * each micro-batch is exact-deduped, near-dedup'd within itself (banded
+    * LSH candidates, exact-Jaccard verified), anti-joined against every
+    * band any earlier batch committed, and its survivors handed to `sink`;
+    * the store commits AFTER the sink returns.
+    *
+    * Deliberately `foreachBatch` + the persisted store rather than a
+    * `transformWithState` keyed on band hash: a doc's B band rows land on
+    * B different keys, so a per-bucket stateful operator cannot decide
+    * "drop iff ANY bucket verified a near-dup" without a second stateful
+    * aggregation over doc ids — a multi-stateful-operator chain — while
+    * the batch operator already expresses the whole candidate/verify
+    * topology per micro-batch AND shares the oracled store format with the
+    * batch pipeline (one campaign can mix batch and streaming runs against
+    * the same store). State is the store's integer band rows + 8-byte
+    * hashes — never document text.
+    *
+    * Delivery is foreachBatch's at-least-once: a crash between `sink` and
+    * `commit` re-delivers that batch's survivors on replay (the staged
+    * commit keeps the store consistent — a replay against a COMMITTED
+    * store yields zero survivors, so duplicates end at the crash window).
+    * Sinks keyed by `batchId` (e.g. partitioned writes) are exactly-once.
+    */
+  def dedupStreamNearDup(turns: Dataset[Turn], storeDir: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    turns.writeStream
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val withId = batch.toDF().withColumn("__id",
+            concat_ws("#", col("conv_id"), col("turn_idx").cast("string")))
+          val staged = graft.operators.Dedup.incrementalMinhashStaged(
+            withId, "__id", "text", storeDir, n, bands, rowsPerBand, threshold)
+          // materialize survivors BEFORE commit (commit releases the
+          // stage's caches and a later stage may compact pinned dirs)
+          val fresh = staged.fresh.drop("__id").localCheckpoint(true)
+          sink(fresh, batchId)
+          staged.commit()
+        }
+      }
+      .start()
+
   /** Stateful multiline assembly over a stream of turns: one group per
     * conversation. Completed records are emitted append-mode; the open
     * buffer rides in state until a later batch closes it — exactly the

@@ -253,6 +253,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: planted near-duplicates drop across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-nd-stream").toString
+    val longA = "alpha " + (0 until 15).map(i => s"w$i").mkString(" ")
+    val longB = "bravo " + (0 until 15).map(i => s"v$i").mkString(" ")
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val in = MemoryStream[Turn]
+    val q = TranscriptStream.dedupStreamNearDup(in.toDS(), store,
+      bands = 8, rowsPerBand = 2, threshold = 0.6) { (df, bid) =>
+      delivered.synchronized {
+        delivered ++= df.select("text").collect().map(r => bid -> r.getString(0))
+      }
+    }
+    try {
+      // batch 1: longA + a within-batch near-dup of it — one survivor
+      in.addData(turn("c1", 0, longA), turn("c2", 0, longA + " tail tail"))
+      q.processAllAvailable()
+      assert(delivered.map(_._2).toSet == Set(longA))
+
+      // batch 2: a cross-batch near-dup and an exact replay both drop;
+      // genuinely new content passes
+      in.addData(turn("c3", 0, longA + " tail"), turn("c4", 0, longA),
+        turn("c5", 0, longB))
+      q.processAllAvailable()
+      assert(delivered.map(_._2).toSet == Set(longA, longB))
+
+      // batch 3: replays of everything → nothing new
+      in.addData(turn("c6", 0, longA + " tail tail"), turn("c7", 0, longB))
+      q.processAllAvailable()
+      assert(delivered.size == 2)
+    } finally q.stop()
+  }
+
   test("windowed tool usage with watermark over a streaming source") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]
