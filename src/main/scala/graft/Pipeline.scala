@@ -261,24 +261,27 @@ object Pipeline {
         else substring_index(col("src_file"), "/", -1)
           .isin(invalidatedNames.toSeq: _*)
       val bypassRows = turns.filter(fromInvalidated)
-      val batch = staged(turns.filter(!fromInvalidated), compact = true)
+      // content carried by the bypass this run is excluded from the main
+      // batch BEFORE staging: (a) it would deliver twice (the bypass
+      // re-delivers in full; the main batch only anti-joins the STORE),
+      // and (b) the main batch's commit would record provenance for a file
+      // that never delivered the content — a later retraction of the
+      // bypass file would then keep that phantom row and re-suppress
+      // content no sink holds (the tombstone bug through a side door)
+      val mainRows =
+        if (invalidatedNames.isEmpty) turns.filter(!fromInvalidated)
+        else turns.filter(!fromInvalidated).join(
+          bypassRows.select(
+            graft.functions.Hashing.sha60(col("text")).as("__bp_h60")).distinct(),
+          graft.functions.Hashing.sha60(col("text")) === col("__bp_h60"),
+          "left_anti")
+      val batch = staged(mainRows, compact = true)
       // the bypass batch is staged AFTER the main one and never compacts,
       // so it cannot delete store dirs the main batch's plan pins
       val bypassBatch =
         if (invalidatedNames.isEmpty) None
         else Some(staged(bypassRows, compact = false))
-      // content introduced by the rewrite AND simultaneously present in a
-      // new file would deliver twice (the bypass re-delivers in full; the
-      // main batch only anti-joins the STORE) — drop the main batch's copy
-      // of any content the bypass carries this run
-      val mainKept =
-        if (invalidatedNames.isEmpty) batch.fresh.drop("__dedup_id", "__src")
-        else batch.fresh.drop("__dedup_id", "__src").join(
-          bypassRows.select(
-            graft.functions.Hashing.sha60(col("text")).as("__bp_h60")).distinct(),
-          graft.functions.Hashing.sha60(col("text")) === col("__bp_h60"),
-          "left_anti")
-      val rows = mainKept.unionByName(bypassRows)
+      val rows = batch.fresh.drop("__dedup_id", "__src").unionByName(bypassRows)
       (rows, () => { batch.commit(); bypassBatch.foreach(_.commit()) })
     }
     val toRoute = dedupStage.map(_._1).getOrElse(turns)
@@ -402,11 +405,16 @@ object Pipeline {
               val spec = graft.sinks.HttpSink.WireSpec(rule.kind, wireUrl,
                 rule.target, rule.user, rule.pass,
                 cfg.batchSize, cfg.batchIntervalMs)
+              // localCheckpoint(eager) EXECUTES the POSTs here, once: the
+              // accounting frame is otherwise lazy and a recomputation
+              // (fetch failure, speculative task) would re-POST delivered
+              // rows; the pinned result is a handful of per-file counts
               wireAcc += graft.sinks.HttpSink.deliver(
                 rows.select(
                   substring_index(col("src_file"), "/", -1).as("fname"),
                   doc.as("doc")),
                 spec).withColumn("sink", lit(rule.name))
+                .localCheckpoint(true)
             }
           }
         }

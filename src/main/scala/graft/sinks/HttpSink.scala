@@ -113,22 +113,37 @@ object HttpSink {
   }
 
   /** Per-item outcomes from an OpenSearch bulk response
-    * (`{"took":…,"errors":bool,"items":[{"index":{"status":201,…}},…]}`):
-    * `"errors":false` short-circuits to all-ok (the BulkIndexer fast path);
-    * otherwise item statuses are read in order — status < 300 is ok
-    * (BulkIndexer counts NumFailed from exactly these statuses,
-    * opensearch-go/opensearchutil). A malformed response (status count ≠
-    * item count) fails the whole batch — indistinguishable outcomes must
-    * count as failures, never as deliveries.
+    * (`{"took":…,"errors":bool,"items":[{"index":{"status":201,…}},…]}`),
+    * parsed STRUCTURALLY (Jackson, which Spark ships): the top-level
+    * `errors:false` short-circuits to all-ok (the BulkIndexer fast path),
+    * otherwise each positional item's action object carries its `status` —
+    * status < 300 is ok (BulkIndexer counts NumFailed from exactly these,
+    * opensearch-go/opensearchutil). Substring/regex scans would be spoofed
+    * by document content echoed inside an item's error.reason; a tree walk
+    * cannot be. A malformed response (missing/short items array) fails the
+    * whole batch — indistinguishable outcomes must count as failures,
+    * never as deliveries.
     */
-  def parseBulkResponse(resp: String, n: Int): IndexedSeq[Boolean] = {
-    if (resp.replaceAll("\\s", "").contains("\"errors\":false"))
-      return IndexedSeq.fill(n)(true)
-    val statuses = "\"status\"\\s*:\\s*(\\d+)".r
-      .findAllMatchIn(resp).map(_.group(1).toInt).toIndexedSeq
-    if (statuses.size != n) IndexedSeq.fill(n)(false)
-    else statuses.map(_ < 300)
-  }
+  def parseBulkResponse(resp: String, n: Int): IndexedSeq[Boolean] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp)
+      if (root.path("errors").isBoolean && !root.path("errors").asBoolean())
+        IndexedSeq.fill(n)(true)
+      else {
+        val items = root.path("items")
+        if (!items.isArray || items.size() != n) IndexedSeq.fill(n)(false)
+        else (0 until n).map { i =>
+          // each item is {"<action>": {"status": ..., ...}} — one field
+          val item = items.get(i)
+          val action = if (item.isObject && item.fields().hasNext)
+            item.fields().next().getValue else item
+          val st = action.path("status")
+          st.isInt && st.asInt() < 300
+        }.toIndexedSeq
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => IndexedSeq.fill(n)(false)
+    }
 
   /** Deliver `(fname, doc)` rows over the wire, distributed: each partition
     * batches up to `batchSize` docs (flushing early when `batchIntervalMs`
@@ -138,6 +153,13 @@ object HttpSink {
     * aggregated inside the partition (a map of distinct fnames, which is
     * bounded by the files in the batch), so the task heap never holds the
     * partition's rows.
+    *
+    * Execution contract: the POSTs are a mapPartitions side effect, so the
+    * caller MUST evaluate the returned frame exactly once (eager
+    * localCheckpoint, as Pipeline does) — a recomputed or speculative task
+    * attempt re-POSTs its partition (at-least-once per attempt, the same
+    * semantics as the reference's flush retry). Disable
+    * spark.speculation for wire-delivery jobs on a cluster.
     */
   def deliver(docs: DataFrame, spec: WireSpec): DataFrame = {
     val spark = docs.sparkSession

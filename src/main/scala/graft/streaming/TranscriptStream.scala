@@ -100,9 +100,16 @@ object TranscriptStream {
     */
   def dedupStreamNearDup(turns: Dataset[Turn], storeDir: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.8)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    turns.writeStream
+      threshold: Double = 0.8,
+      /** Streaming checkpoint location — REQUIRED in production for the
+        * "at-least-once bounded to one crash" contract: without it the
+        * engine's temp checkpoint dies with the process and a restart
+        * replays the whole source (still no duplicate deliveries — the
+        * store anti-joins replays away — but every batch re-runs).
+        */
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = turns.writeStream
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
         if (!batch.isEmpty) {
           val withId = batch.toDF().withColumn("__id",
@@ -116,7 +123,9 @@ object TranscriptStream {
           staged.commit()
         }
       }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
+  }
 
   /** Stateful multiline assembly over a stream of turns: one group per
     * conversation. Completed records are emitted append-mode; the open
@@ -147,6 +156,9 @@ object TranscriptStream {
     * whose indices don't start at 0). `droppedBelowSeed`, when given,
     * counts rows a seed-started conversation dropped because they arrived
     * below its seed — the observable signal that seeding lost head turns.
+    * At-least-once: re-deliveries of an already-dropped head turn (and
+    * replayed task attempts) increment it again — nonzero means head loss
+    * happened; the magnitude is an upper bound, not an exact count.
     */
   def assembleStream(turns: Dataset[Turn], spec: MultilineSpec,
       seedCursor: Boolean = true,

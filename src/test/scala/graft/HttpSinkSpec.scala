@@ -62,11 +62,19 @@ class HttpSinkSpec extends AnyFunSuite {
       """{"took":1,"errors":true,"items":[{"index":{"status":201}},""" +
         """{"index":{"status":429,"error":{"type":"x"}}},{"index":{"status":200}}]}""",
       3) == IndexedSeq(true, false, true))
-    // status count ≠ item count → indistinguishable outcomes count failed
+    // item count ≠ batch size → indistinguishable outcomes count failed
     assert(HttpSink.parseBulkResponse("""{"errors":true,"items":[]}""", 2)
       == IndexedSeq(false, false))
     assert(HttpSink.parseBulkResponse("not json at all", 2)
       == IndexedSeq(false, false))
+    // content spoofing: a rejected doc whose error.reason ECHOES bulk-API
+    // text ('"errors": false', a status field) must not flip outcomes —
+    // the parse is structural, not substring
+    assert(HttpSink.parseBulkResponse(
+      """{"took":1,"errors":true,"items":[{"index":{"status":400,""" +
+        """"error":{"type":"mapper_parsing_exception","reason":""" +
+        """"failed to parse: {\"errors\": false, \"status\": 201}"}}}]}""",
+      1) == IndexedSeq(false))
   }
 
   test("opensearch bulk delivery: exact per-file accounting, batches sized by batch-size") {
