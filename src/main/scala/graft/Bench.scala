@@ -204,7 +204,10 @@ object Bench {
     // persisted-store campaigns (dozens of small store-I/O jobs) inside
     // one query — a correctness fixture, not a throughput path — and
     // costs 6-13s per shot. One shot each, one dirty-window retry max.
-    val singleShot = Set("q_dedup_ngram", "q_neardup_incremental")
+    // q_dedup_retract also runs a full store campaign (seed commit +
+    // retraction rewrite + second batch) in-query — same fixture class
+    val singleShot = Set("q_dedup_ngram", "q_neardup_incremental",
+      "q_dedup_retract")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       // budget degradation (r4 VERDICT #2): once 60% of the budget is

@@ -756,6 +756,29 @@ object Queries {
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6).commit()
       Dedup.incrementalMinhash(b, "doc_id", "text", store,
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+    }),
+
+    // STORE RETRACTION, end to end: batch A (even doc_ids, per-row source
+    // f1/f2 by doc_id % 4) seeds the store WITH provenance; source f1 is
+    // then retracted — the rewrite-removed-content path: its exclusive
+    // hashes leave the store. Batch B (odd doc_ids + re-id'd copies of A
+    // content) then delivers exactly the content whose surviving
+    // provenance was f1 (reopened) plus genuinely new content, while
+    // f2-attributed content stays suppressed. The oracle re-derives the
+    // store's post-retraction state from A's within-batch survivors alone.
+    "q_dedup_retract" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val a = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("src",
+          when(col("doc_id") % 4 === 0, lit("f1")).otherwise(lit("f2")))
+      val b = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 80)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      val store = tempStore("graft-q-retract")
+      Dedup.incrementalExactStaged(a, "doc_id", "text", store,
+        srcCol = Some("src")).commit()
+      Dedup.retractSources(s, store, Seq("f1"))
+      Dedup.incrementalExact(b, "doc_id", "text", store)
     })
   )
 
@@ -1222,6 +1245,24 @@ object Queries {
          |    FROM cx c JOIN hsb da ON da.id = c.a JOIN hsa db ON db.id = c.b) vx
          |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6)
          |SELECT doc_id, text FROM bk WHERE doc_id NOT IN (SELECT a FROM mx)""".stripMargin,
+
+    // store retraction: the post-retraction store = A's within-batch
+    // survivors whose provenance (the surviving row's src) is NOT the
+    // retracted source; B's survivors = B deduped within itself minus
+    // that store — f1-attributed content reopens, f2-attributed stays
+    "q_dedup_retract" ->
+      s"""WITH a0 AS (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'f1' ELSE 'f2' END AS src
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |aex AS (SELECT doc_id, text, src FROM (
+         |    SELECT doc_id, text, src, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM a0) t0 WHERE rn = 1),
+         |store AS (SELECT text FROM aex WHERE src = 'f2'),
+         |b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 600000, text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 80),
+         |bex AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM b0) t1 WHERE rn = 1)
+         |SELECT doc_id, text FROM bex
+         |WHERE ${sha60Sql("text")} NOT IN (SELECT ${sha60Sql("text")} FROM store)""".stripMargin,
 
     // SimHash: identical 60-bit fingerprints re-derived from sha256 token
     // hashes; 15-bit quarter blocking, exact hamming verify — the same
