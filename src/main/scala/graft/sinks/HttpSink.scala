@@ -135,8 +135,9 @@ object HttpSink {
         else (0 until n).map { i =>
           // each item is {"<action>": {"status": ..., ...}} — one field
           val item = items.get(i)
-          val action = if (item.isObject && item.fields().hasNext)
-            item.fields().next().getValue else item
+          val names = item.fieldNames()
+          val action = if (item.isObject && names.hasNext)
+            item.get(names.next()) else item
           val st = action.path("status")
           st.isInt && st.asInt() < 300
         }.toIndexedSeq

@@ -265,7 +265,7 @@ object TranscriptStream {
       idleTimeoutMs.foreach { ms =>
         // re-arm the idle timer: data arrived, so the clock restarts
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + ms)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + ms)
       }
       recs.iterator.zipWithIndex.map { case (r, i) =>
         SegRecord(conv, cur.nextIdx + i, r)
