@@ -63,6 +63,36 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.forall { case (_, c, n) => c == 0L && n == 12L })
   }
 
+  test("connectedComponentsAltStar: deep chain converges in O(log n) rounds; labels match label-propagation") {
+    // a 60-node chain: min-label propagation needs ~59 rounds (over the
+    // default 50 cap); alternating stars contract it within ~log2 rounds
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponentsAltStar(chain, maxRounds = 15)
+      .select("id", "cluster", "n_members").as[(Long, Long, Long)].collect()
+    assert(labels.length == 60)
+    assert(labels.forall { case (_, c, n) => c == 0L && n == 60L })
+
+    // multi-component mixed graph: alt-star and label propagation agree
+    // exactly (both converge to component minima)
+    val mixed = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),        // triangle
+      (10L, 11L), (11L, 12L), (12L, 13L),  // path
+      (20L, 21L),                          // pair
+      (30L, 30L)                           // self-loop only => singleton
+    ).toDF("a", "b")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster", "n_members").as[(Long, Long, Long)].collect().toSet
+    val viaStar = asSet(Dedup.connectedComponentsAltStar(mixed))
+    val viaProp = asSet(Dedup.connectedComponents(mixed))
+    assert(viaStar == viaProp)
+    assert(viaStar.contains((13L, 10L, 4L)) && viaStar.contains((30L, 30L, 1L)))
+
+    // deterministic pseudo-random graph, many components of varied shape
+    val rand = (0L until 100L).map(i => (i, (i * i * 31 + 7) % 100)).toDF("a", "b")
+    assert(asSet(Dedup.connectedComponentsAltStar(rand))
+      == asSet(Dedup.connectedComponents(rand)))
+  }
+
   test("retractSources (exact store): only the retracted source's exclusive hashes reopen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-retract").toString
     def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
