@@ -338,6 +338,17 @@ object Queries {
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
         .select(col("id").as("doc_id"), col("cluster"), col("n_members"))),
 
+    // same clusters via the ALTERNATING-STAR algorithm (the O(log n)-round
+    // long-chain variant): a different distributed iteration whose converged
+    // labels must equal label-propagation's — and the recursive-CTE oracle
+    // re-derives them a third way
+    "q_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsAltStar(
+        Dedup.minhashLsh(nearDupFixture(s, dir), "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+          .select(col("a"), col("b")))
+        .select(col("id").as("doc_id"), col("cluster"), col("n_members"))),
+
     // SimHash near-dup pairs (native expression, sha256-derived token hash
     // — the DuckDB oracle recomputes the identical 60-bit fingerprints)
     "q_dedup_simhash" -> ((s, dir) => {
@@ -1185,6 +1196,23 @@ object Queries {
     // CTE — component label = min reachable id over symmetric edges, the
     // same fixpoint the engine's label propagation converges to
     "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + nearDupCte.stripPrefix("WITH ") + ", " +
+        mhBatchCtes("c", "docs2", 0.6) +
+        s""",
+           |ed AS (SELECT a, b FROM vpc UNION ALL SELECT b, a FROM vpc),
+           |rc(id, r) AS (
+           |  SELECT DISTINCT a, a FROM ed
+           |  UNION
+           |  SELECT ed.a, rc.r FROM ed JOIN rc ON rc.id = ed.b),
+           |cl AS (SELECT id, min(r) AS cluster FROM rc GROUP BY id),
+           |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM cl GROUP BY 1)
+           |SELECT cl.id AS doc_id, cl.cluster, sz.n_members
+           |FROM cl JOIN sz USING (cluster)""".stripMargin),
+
+    // alternating-star clusters: identical output contract, identical
+    // oracle — the CTE is algorithm-agnostic (transitive closure), so it
+    // pins BOTH distributed iterations to the same converged minima
+    "q_dedup_clusters_star" ->
       ("WITH RECURSIVE " + nearDupCte.stripPrefix("WITH ") + ", " +
         mhBatchCtes("c", "docs2", 0.6) +
         s""",
