@@ -1209,23 +1209,6 @@ object Queries {
            |SELECT cl.id AS doc_id, cl.cluster, sz.n_members
            |FROM cl JOIN sz USING (cluster)""".stripMargin),
 
-    // alternating-star clusters: identical output contract, identical
-    // oracle — the CTE is algorithm-agnostic (transitive closure), so it
-    // pins BOTH distributed iterations to the same converged minima
-    "q_dedup_clusters_star" ->
-      ("WITH RECURSIVE " + nearDupCte.stripPrefix("WITH ") + ", " +
-        mhBatchCtes("c", "docs2", 0.6) +
-        s""",
-           |ed AS (SELECT a, b FROM vpc UNION ALL SELECT b, a FROM vpc),
-           |rc(id, r) AS (
-           |  SELECT DISTINCT a, a FROM ed
-           |  UNION
-           |  SELECT ed.a, rc.r FROM ed JOIN rc ON rc.id = ed.b),
-           |cl AS (SELECT id, min(r) AS cluster FROM rc GROUP BY id),
-           |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM cl GROUP BY 1)
-           |SELECT cl.id AS doc_id, cl.cluster, sz.n_members
-           |FROM cl JOIN sz USING (cluster)""".stripMargin),
-
     // incremental exact dedup: B's survivors = B deduped within itself
     // (lowest id per content), minus any content batch A committed — the
     // same sha60 store key the engine anti-joins on
@@ -1757,10 +1740,14 @@ object Queries {
   )
 
   // the bloom pre-filter variant is exact-equivalent by construction, so
-  // it shares q_decontaminate's oracle verbatim (declared AFTER oracleBase:
-  // object-init order — see CLAUDE.md)
+  // it shares q_decontaminate's oracle verbatim; the alternating-star
+  // clusters variant shares q_dedup_clusters' — the recursive CTE is
+  // algorithm-agnostic (transitive closure), so ONE oracle pins both
+  // distributed iterations to the same converged minima (declared AFTER
+  // oracleBase: object-init order — see CLAUDE.md)
   val oracleSql: Map[String, String] = oracleBase +
-    ("q_decontaminate_bloom" -> oracleBase("q_decontaminate"))
+    ("q_decontaminate_bloom" -> oracleBase("q_decontaminate")) +
+    ("q_dedup_clusters_star" -> oracleBase("q_dedup_clusters"))
 
   /** Oracle body for the periodic-fixture FSM queries: `lineExpr` rebuilds
     * the synthetic line from turn_idx, `segExpr` is the closed-form record

@@ -595,9 +595,14 @@ object Dedup {
     * nodes, so `maxRounds` is a true anomaly guard, not a tuning knob.
     */
   def connectedComponentsAltStar(pairs0: DataFrame, maxRounds: Int = 60): DataFrame = {
-    val allIds = pairs0.select(col("a").as("id"))
-      .unionByName(pairs0.select(col("b").as("id"))).distinct()
-    var edges = pairs0
+    // ONE pinned evaluation of the pair producer: both the edge set and
+    // the end-of-run singleton anti-join derive from this snapshot, so an
+    // unstable producer (sampled/generated ids) can't hand them
+    // inconsistent id sets
+    val pairs = pairs0.select(col("a"), col("b")).localCheckpoint(true)
+    val allIds = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct()
+    var edges = pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var edgeCount = edges.count()
