@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{Dedup, Enrich, Multimodal, Parse, Route, Segments, Similarity, TextAnalysis}
+import graft.operators.{Cardinality, Dedup, Enrich, Multimodal, Parse, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -716,6 +716,25 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("n_covered"),
           TextAnalysis.r6(col("n_covered").cast("double") / col("n_tokens"))
             .as("coverage"))
+    }),
+
+    // deterministic-hash cardinality sketch (HLL over sha60): corpus
+    // distinct-trigram-shingle count estimated from 256 max-registers —
+    // the key-space sizing pass a dedup campaign runs before picking its
+    // hash width. Scale shape: registers are one streaming aggregate
+    // (map-side partial max ⇒ the shuffle carries ≤256 integer rows per
+    // task); the exact countDistinct rides along purely as the accuracy
+    // fixture — at 100 TB only the sketch path runs.
+    "q_cardinality_sketch" -> ((s, dir) => {
+      val sh = documents(s, dir)
+        .select(explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
+      val fin = Cardinality.estimate(Cardinality.registers(sh, col("s")))
+      val exact = sh.agg(countDistinct(col("s")).as("n_exact"))
+      fin.crossJoin(exact).select(
+        lit(256L).as("m_buckets"), col("n_occupied"),
+        TextAnalysis.r6(col("e")).as("estimate"), col("n_exact"),
+        TextAnalysis.r6(abs(TextAnalysis.r6(col("e")) - col("n_exact")) /
+          col("n_exact")).as("err_frac"))
     }),
 
     // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
@@ -1502,6 +1521,36 @@ object Queries {
         |SELECT doc_id, n_tokens, n_covered,
         |  floor((CAST(n_covered AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS coverage
         |FROM agg""".stripMargin,
+
+    // cardinality sketch: the identical 256 max-registers re-derived from
+    // sha60 (bucket = top 8 bits, rho = trailing-zeros+1 of the low 52 via
+    // the exact-integer rest & -rest low-bit isolate), then the same
+    // harmonic estimator with linear-counting small-range branch, operation
+    // order matching the Spark side so the r6-rounded double is identical
+    "q_cardinality_sketch" ->
+      """WITH sh AS (
+        |  SELECT unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |h AS (SELECT ('0x' || substr(sha256(s), 1, 15))::BIGINT AS h FROM sh),
+        |b AS (SELECT h >> 52 AS bucket, h % 4503599627370496 AS rest FROM h),
+        |r AS (SELECT bucket,
+        |        CASE WHEN rest = 0 THEN 53
+        |             ELSE CAST(floor(log2(rest & (-rest)) + 0.5) AS INT) + 1 END AS rho
+        |      FROM b),
+        |reg AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_occupied, sum(pow(2.0, -mj)) AS s FROM reg),
+        |est AS (SELECT n_occupied,
+        |          (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / (s + (256 - n_occupied)) AS e_raw
+        |        FROM agg),
+        |fin AS (SELECT n_occupied,
+        |          CASE WHEN e_raw <= 2.5 * 256.0 AND n_occupied < 256
+        |               THEN 256.0 * ln(256.0 / (256 - n_occupied)) ELSE e_raw END AS e
+        |        FROM est),
+        |ex AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM sh)
+        |SELECT CAST(256 AS BIGINT) AS m_buckets, n_occupied,
+        |  floor(e * 1000000 + 0.5) / 1000000 AS estimate, n_exact,
+        |  floor(abs(floor(e * 1000000 + 0.5) / 1000000 - n_exact) / n_exact * 1000000 + 0.5) / 1000000 AS err_frac
+        |FROM fin, ex""".stripMargin,
 
     // embedding outlier: identical r6 per-(label,dim) means; dims pair by
     // index (Spark 0-based posexplode vs DuckDB 1-based v[i], both in dim

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic HLL-style distinct-count sketch (Flajolet et al.,
+  * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+  * algorithm", AofA 2007) built on the cross-engine [[Hashing.sha60]]
+  * kernel, so the DuckDB oracle can re-derive the registers bit-for-bit —
+  * which Spark's own `approx_count_distinct` (HLL++, engine-private
+  * serialization) cannot offer.
+  *
+  * Sketch layout over the 60-bit hash: the top `p` bits pick one of
+  * m = 2^p registers; the geometric variable rho is the 1-based position
+  * of the LOWEST set bit of the remaining 60−p bits (trailing-zeros + 1 —
+  * same 2^-k law as the leading-zeros textbook form, and expressible in
+  * both engines as exact integer arithmetic: `rest & -rest` isolates the
+  * low bit, whose log2 is an integer that `floor(log2(x) + 0.5)` recovers
+  * robustly even if either engine's libm is off by an ulp).
+  *
+  * The 100 TB story is the whole point of a sketch: [[registers]] is one
+  * streaming pass — partial `max` per bucket combines map-side, so the
+  * only shuffle carries ≤ m (bucket, rho) integer rows per map task, and
+  * the global state is m bytes-ish regardless of input size. [[merge]] is
+  * register-wise max, so per-partition / per-day sketches roll up without
+  * revisiting data — the distributivity a plain `count(DISTINCT)` (full
+  * shuffle of every distinct string) cannot give. Standard error is
+  * 1.04/sqrt(m) (6.5% at the default m = 256).
+  *
+  * No reference analogue (freader keeps exact per-file counters only) —
+  * this sits in the training-data-pipeline extension family next to
+  * [[Dedup]]: the "how many distinct shingles / urls / doc hashes" sizing
+  * question every dedup campaign asks before it picks its key space.
+  */
+object Cardinality {
+
+  /** Max-rho registers of `item` under an m = 2^p bucket sketch:
+    * (bucket: long in [0, 2^p), mj: int). Rows never seen for a bucket
+    * mean register value 0; [[estimate]] accounts for them.
+    */
+  def registers(items: DataFrame, item: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"sketch precision p=$p outside [4, 16]")
+    val restBits = 60 - p
+    val mask = (1L << restBits) - 1
+    items.select(Hashing.sha60(item).as("h"))
+      .select(shiftright(col("h"), restBits).as("bucket"),
+        col("h").bitwiseAND(lit(mask)).as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0L, lit(restBits + 1))
+          .otherwise(floor(log2(col("rest").bitwiseAND(-col("rest"))) + lit(0.5))
+            .cast("int") + lit(1))
+          .as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("mj"))
+  }
+
+  /** Register-wise merge: the sketch of a union is the max per bucket —
+    * the distributive rollup path (per-shard sketches → corpus sketch).
+    */
+  def merge(regs: DataFrame*): DataFrame =
+    regs.reduce(_ unionByName _).groupBy("bucket").agg(max(col("mj")).as("mj"))
+
+  /** One-row (n_occupied: long, e: double) estimate from [[registers]]
+    * output. Raw harmonic-mean estimator with the standard linear-counting
+    * small-range correction (E ≤ 2.5m with empty buckets present →
+    * m·ln(m/V)); empty input estimates 0. Operation order mirrors the
+    * DuckDB oracle exactly so the r6-rounded value is cross-engine stable.
+    */
+  def estimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"estimator bias constant needs p >= 7 (got $p)")
+    val m = 1 << p
+    val md = m.toDouble
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md))
+    regs.agg(count(lit(1)).as("n_occupied"),
+        coalesce(sum(pow(lit(2.0), -col("mj"))), lit(0.0)).as("s"))
+      .select(col("n_occupied"),
+        (alpha * lit(md) * lit(md) /
+          (col("s") + (lit(m.toLong) - col("n_occupied")))).as("e_raw"))
+      .select(col("n_occupied"),
+        when(col("e_raw") <= lit(2.5 * md) && col("n_occupied") < m,
+          lit(md) * log(lit(md) / (lit(m.toLong) - col("n_occupied"))))
+          .otherwise(col("e_raw")).as("e"))
+  }
+}

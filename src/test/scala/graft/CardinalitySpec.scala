@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cardinality
+
+/** Pins the deterministic HLL sketch's operator invariants: accuracy at
+  * both estimator branches, duplicate-insensitivity, register-wise merge
+  * distributivity (the per-shard rollup path), and the empty-input floor.
+  * Exact cross-engine register/estimate values are covered by the
+  * q_cardinality_sketch DuckDB oracle.
+  */
+class CardinalitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def items(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(concat(lit("item-"), col("id")).as("s"))
+
+  private def est(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+    val r = Cardinality.estimate(Cardinality.registers(df, col("s"))).head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  test("raw branch: 10k distinct estimated within 3 sigma (19.5% at m=256)") {
+    val (occ, e) = est(items(0, 10000))
+    assert(occ == 256L) // every bucket hit at n >> m ln m
+    assert(math.abs(e - 10000.0) / 10000.0 < 0.195, s"estimate $e")
+  }
+
+  test("linear-counting branch: 100 distinct estimated within 15%") {
+    val (occ, e) = est(items(0, 100))
+    assert(occ < 256L)
+    assert(math.abs(e - 100.0) / 100.0 < 0.15, s"estimate $e")
+  }
+
+  test("duplicates leave registers unchanged") {
+    val once = items(0, 500)
+    val regsOnce = Cardinality.registers(once, col("s"))
+    val regsTwice = Cardinality.registers(once.unionAll(once), col("s"))
+    assert(regsOnce.exceptAll(regsTwice).isEmpty && regsTwice.exceptAll(regsOnce).isEmpty)
+  }
+
+  test("merge of shard sketches equals the sketch of the union, register-for-register") {
+    val a = Cardinality.registers(items(0, 3000), col("s"))
+    val b = Cardinality.registers(items(2000, 6000), col("s")) // overlapping shards
+    val merged = Cardinality.merge(a, b)
+    val whole = Cardinality.registers(items(0, 6000), col("s"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("empty input estimates zero") {
+    val (occ, e) = est(items(0, 0))
+    assert(occ == 0L && e == 0.0)
+  }
+}
