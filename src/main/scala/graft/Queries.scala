@@ -721,13 +721,19 @@ object Queries {
     // deterministic-hash cardinality sketch (HLL over sha60): corpus
     // distinct-trigram-shingle count estimated from 256 max-registers —
     // the key-space sizing pass a dedup campaign runs before picking its
-    // hash width. Scale shape: registers are one streaming aggregate
-    // (map-side partial max ⇒ the shuffle carries ≤256 integer rows per
-    // task); the exact countDistinct rides along purely as the accuracy
-    // fixture — at 100 TB only the sketch path runs.
+    // hash width. The universe is the HASHED shingle space (the native
+    // single-pass shingle_hashes expression the minhash family shuffles —
+    // one sha256 per token, no n-gram strings materialized, and the same
+    // domain the campaign's stores actually key on); each hashed shingle
+    // is re-expanded to 60 uniform bits through sha60 of its decimal
+    // rendering, the cross-engine-exact path. Scale shape: registers are
+    // one streaming aggregate (map-side partial max ⇒ the shuffle carries
+    // ≤256 integer rows per task); the exact countDistinct rides along
+    // purely as the accuracy fixture — at 100 TB only the sketch path runs.
     "q_cardinality_sketch" -> ((s, dir) => {
-      val sh = documents(s, dir)
-        .select(explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
+      val sh = Dedup.shingleHashSets(documents(s, dir), "doc_id", "text", 3)
+        .select(explode(col("hs")).as("hsh"))
+        .select(col("hsh").cast("string").as("s"))
       val fin = Cardinality.estimate(Cardinality.registers(sh, col("s")))
       val exact = sh.agg(countDistinct(col("s")).as("n_exact"))
       fin.crossJoin(exact).select(
@@ -1522,15 +1528,18 @@ object Queries {
         |  floor((CAST(n_covered AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS coverage
         |FROM agg""".stripMargin,
 
-    // cardinality sketch: the identical 256 max-registers re-derived from
-    // sha60 (bucket = top 8 bits, rho = trailing-zeros+1 of the low 52 via
-    // the exact-integer rest & -rest low-bit isolate), then the same
-    // harmonic estimator with linear-counting small-range branch, operation
-    // order matching the Spark side so the r6-rounded double is identical
+    // cardinality sketch: the same hashed-shingle universe the minhash
+    // oracles derive (hashedShinglesSql — per-token sha60 % P + rolling
+    // 8191 fold, within-doc distinct), rendered to decimal strings, then
+    // the identical 256 max-registers re-derived from sha60 (bucket = top
+    // 8 bits, rho = trailing-zeros+1 of the low 52 via the exact-integer
+    // rest & -rest low-bit isolate), then the same harmonic estimator with
+    // linear-counting small-range branch, operation order matching the
+    // Spark side so the r6-rounded double is identical
     "q_cardinality_sketch" ->
-      """WITH sh AS (
-        |  SELECT unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
-        |  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+      s"""WITH sh AS (
+        |  SELECT CAST(unnest(hs) AS VARCHAR) AS s
+        |  FROM ${hashedShinglesSql("documents", 3)} hx),
         |h AS (SELECT ('0x' || substr(sha256(s), 1, 15))::BIGINT AS h FROM sh),
         |b AS (SELECT h >> 52 AS bucket, h % 4503599627370496 AS rest FROM h),
         |r AS (SELECT bucket,
