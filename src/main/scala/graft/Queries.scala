@@ -734,13 +734,15 @@ object Queries {
       val sh = Dedup.shingleHashSets(documents(s, dir), "doc_id", "text", 3)
         .select(explode(col("hs")).as("hsh"))
         .select(col("hsh").cast("string").as("s"))
-      val fin = Cardinality.estimate(Cardinality.registers(sh, col("s")))
+      val fin = Cardinality.sketch(sh, col("s"))
       val exact = sh.agg(countDistinct(col("s")).as("n_exact"))
       fin.crossJoin(exact).select(
         lit(256L).as("m_buckets"), col("n_occupied"),
         TextAnalysis.r6(col("e")).as("estimate"), col("n_exact"),
-        TextAnalysis.r6(abs(TextAnalysis.r6(col("e")) - col("n_exact")) /
-          col("n_exact")).as("err_frac"))
+        // zero guard mirrors the oracle: an empty universe reports 0 error
+        when(col("n_exact") === 0L, lit(0.0))
+          .otherwise(TextAnalysis.r6(abs(TextAnalysis.r6(col("e")) - col("n_exact")) /
+            col("n_exact"))).as("err_frac"))
     }),
 
     // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
@@ -1547,7 +1549,8 @@ object Queries {
         |             ELSE CAST(floor(log2(rest & (-rest)) + 0.5) AS INT) + 1 END AS rho
         |      FROM b),
         |reg AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY 1),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_occupied, sum(pow(2.0, -mj)) AS s FROM reg),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+        |          coalesce(sum(pow(2.0, -mj)), 0.0) AS s FROM reg),
         |est AS (SELECT n_occupied,
         |          (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / (s + (256 - n_occupied)) AS e_raw
         |        FROM agg),
@@ -1558,7 +1561,9 @@ object Queries {
         |ex AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM sh)
         |SELECT CAST(256 AS BIGINT) AS m_buckets, n_occupied,
         |  floor(e * 1000000 + 0.5) / 1000000 AS estimate, n_exact,
-        |  floor(abs(floor(e * 1000000 + 0.5) / 1000000 - n_exact) / n_exact * 1000000 + 0.5) / 1000000 AS err_frac
+        |  CASE WHEN n_exact = 0 THEN 0.0
+        |       ELSE floor(abs(floor(e * 1000000 + 0.5) / 1000000 - n_exact) / n_exact * 1000000 + 0.5) / 1000000
+        |  END AS err_frac
         |FROM fin, ex""".stripMargin,
 
     // embedding outlier: identical r6 per-(label,dim) means; dims pair by

@@ -41,7 +41,10 @@ object Cardinality {
     * mean register value 0; [[estimate]] accounts for them.
     */
   def registers(items: DataFrame, item: Column, p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, s"sketch precision p=$p outside [4, 16]")
+    // same range as estimate: the two calls of a sketch MUST share one p
+    // (registers at p=10 fed to estimate at p=8 would silently mis-scale);
+    // [[sketch]] threads a single p through both
+    require(p >= 7 && p <= 16, s"sketch precision p=$p outside [7, 16]")
     val restBits = 60 - p
     val mask = (1L << restBits) - 1
     items.select(Hashing.sha60(item).as("h"))
@@ -58,8 +61,16 @@ object Cardinality {
   /** Register-wise merge: the sketch of a union is the max per bucket —
     * the distributive rollup path (per-shard sketches → corpus sketch).
     */
-  def merge(regs: DataFrame*): DataFrame =
+  def merge(regs: DataFrame*): DataFrame = {
+    require(regs.nonEmpty, "merge needs at least one register table")
     regs.reduce(_ unionByName _).groupBy("bucket").agg(max(col("mj")).as("mj"))
+  }
+
+  /** One-shot estimate with a single precision threaded through both
+    * halves — the misuse-proof form of estimate(registers(...)).
+    */
+  def sketch(items: DataFrame, item: Column, p: Int = 8): DataFrame =
+    estimate(registers(items, item, p), p)
 
   /** One-row (n_occupied: long, e: double) estimate from [[registers]]
     * output. Raw harmonic-mean estimator with the standard linear-counting

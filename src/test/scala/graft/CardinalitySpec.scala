@@ -18,8 +18,13 @@ class CardinalitySpec extends AnyFunSuite {
     spark.range(lo, hi).select(concat(lit("item-"), col("id")).as("s"))
 
   private def est(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
-    val r = Cardinality.estimate(Cardinality.registers(df, col("s"))).head()
+    val r = Cardinality.sketch(df, col("s")).head()
     (r.getLong(0), r.getDouble(1))
+  }
+
+  test("precision ranges of the two halves agree; mismatched p is rejected up front") {
+    intercept[IllegalArgumentException](Cardinality.registers(items(0, 10), col("s"), 6))
+    intercept[IllegalArgumentException](Cardinality.merge())
   }
 
   test("raw branch: 10k distinct estimated within 3 sigma (19.5% at m=256)") {
