@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{Cardinality, Dedup, Enrich, Multimodal, Parse, Route, Segments, Similarity, TextAnalysis}
+import graft.operators.{Cardinality, Dedup, Enrich, Frequency, Multimodal, Parse, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -743,6 +743,24 @@ object Queries {
         when(col("n_exact") === 0L, lit(0.0))
           .otherwise(TextAnalysis.r6(abs(TextAnalysis.r6(col("e")) - col("n_exact")) /
             col("n_exact"))).as("err_frac"))
+    }),
+
+    // deterministic count-min frequency sketch: heavy-hitter token counts
+    // estimated from a 4×1024 counter table built with the mix affine
+    // family — the frequency face of the sizing pass next to
+    // q_cardinality_sketch (boilerplate/template detection without a
+    // full-vocabulary shuffle). All counters are integers, so the oracle
+    // surface is exact with no floating point at all. Scale shape: the
+    // sketch is one streaming aggregate bounded at d·w counter rows
+    // (map-side combine), estimates probe a broadcast of it; the exact
+    // top-10 rides along purely as the accuracy fixture.
+    "q_freq_sketch" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      val sk = Frequency.sketch(tok, Hashing.sha60(col("word")))
+      val top = tok.groupBy("word").agg(count(lit(1)).as("cnt_exact"))
+        .orderBy(col("cnt_exact").desc, col("word")).limit(10)
+      Frequency.estimate(sk, top, Hashing.sha60(col("word")))
     }),
 
     // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
@@ -1529,6 +1547,24 @@ object Queries {
         |SELECT doc_id, n_tokens, n_covered,
         |  floor((CAST(n_covered AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS coverage
         |FROM agg""".stripMargin,
+
+    // count-min sketch: identical 4×1024 counter table re-derived from the
+    // same mix affine family (a_i, b_i re-derived IN SQL from sha256), the
+    // same top-10 tie-break, and min-over-rows point estimates — every
+    // value an integer, so cross-engine equality is exact by construction
+    "q_freq_sketch" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        |             FROM documents),
+        |pairs AS (SELECT word, i AS r, ${Hashing.mixSql(Hashing.sha60Sql("word"), "i")} % 1024 AS c
+        |          FROM tok, range(4) t(i)),
+        |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2),
+        |top AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt_exact
+        |        FROM tok GROUP BY 1 ORDER BY cnt_exact DESC, word LIMIT 10),
+        |qp AS (SELECT word, cnt_exact, i AS r, ${Hashing.mixSql(Hashing.sha60Sql("word"), "i")} % 1024 AS c
+        |       FROM top, range(4) u(i)),
+        |est AS (SELECT word, cnt_exact, min(coalesce(sk.cnt, 0)) AS cnt_est
+        |        FROM qp LEFT JOIN sk USING (r, c) GROUP BY 1, 2)
+        |SELECT word, cnt_exact, cnt_est FROM est""".stripMargin,
 
     // cardinality sketch: the same hashed-shingle universe the minhash
     // oracles derive (hashedShinglesSql — per-token sha60 % P + rolling
