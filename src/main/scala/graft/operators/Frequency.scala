@@ -33,8 +33,14 @@ import graft.functions.Hashing
   */
 object Frequency {
 
-  private def probeCols(item: Column, d: Int, w: Int): Column =
-    posexplode(array((0 until d).map(i => Hashing.mix(item, i) % w): _*))
+  /** The d (row, col) probes of a staged hash column. The item hash is
+    * materialized in a projection BELOW the Generate so sha256 runs once
+    * per input row, not once per probe — Catalyst collapses stacked
+    * projections (inlining the hash into every array slot) but never
+    * merges a projection into a Generate's generator.
+    */
+  private def probeCols(x: Column, d: Int, w: Int): Column =
+    posexplode(array((0 until d).map(i => Hashing.mix(x, i) % w): _*))
 
   /** Counter table (row: int, col: long, cnt: long) of an m = d×w sketch.
     * Absent (row, col) pairs mean counter value 0.
@@ -42,7 +48,8 @@ object Frequency {
   def sketch(items: DataFrame, item: Column, d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 16, s"depth d=$d outside [1, 16]")
     require(w >= 2, s"width w=$w must be >= 2")
-    items.select(probeCols(item, d, w).as(Seq("row", "col")))
+    items.select(item.as("__cms_x"))
+      .select(probeCols(col("__cms_x"), d, w).as(Seq("row", "col")))
       .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
   }
 
@@ -54,17 +61,28 @@ object Frequency {
     sks.reduce(_ unionByName _).groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
   }
 
-  /** Point estimates for every row of `queries`: appends `cnt_est` =
-    * min over the d probed counters (0 for never-seen items). `d`/`w`
-    * must match the values the sketch was built with.
+  /** Point estimates for every distinct row of `queries` (duplicates
+    * collapse): appends `cnt_est` = min over the d probed counters (0 for
+    * never-seen items). `d`/`w` MUST match the values the sketch was built
+    * with — a mismatched `w` probes columns the sketch never filled and
+    * would undercount, the one error CMS promises never to make, so it is
+    * rejected as far as statically possible. `queries` may carry any
+    * columns except the reserved `__cms_*` internals and `cnt_est`.
     */
   def estimate(sk: DataFrame, queries: DataFrame, item: Column,
       d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 16, s"depth d=$d outside [1, 16]")
-    val keep = queries.columns.map(col)
-    queries.select(keep :+ probeCols(item, d, w).as(Seq("row", "col")): _*)
-      .join(broadcast(sk), Seq("row", "col"), "left")
-      .groupBy(keep: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
+    require(w >= 2, s"width w=$w must be >= 2")
+    val keepNames = queries.columns.toSeq
+    require(keepNames.forall(c => !c.startsWith("__cms_") && c != "cnt_est"),
+      s"queries columns collide with reserved names: ${keepNames.mkString(",")}")
+    val probed = queries.withColumn("__cms_x", item)
+      .select(keepNames.map(col) :+
+        probeCols(col("__cms_x"), d, w).as(Seq("__cms_row", "__cms_col")): _*)
+    val skInternal = sk.select(col("row").as("__cms_row"),
+      col("col").as("__cms_col"), col("cnt").as("__cms_cnt"))
+    probed.join(broadcast(skInternal), Seq("__cms_row", "__cms_col"), "left")
+      .groupBy(keepNames.map(col): _*)
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("cnt_est"))
   }
 }

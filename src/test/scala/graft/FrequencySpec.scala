@@ -59,6 +59,18 @@ class FrequencySpec extends AnyFunSuite {
     assert(zeros == 0L)
   }
 
+  test("query columns named cnt/row/col survive the probe join; __cms_* reserved") {
+    val items = multiset(500, 20)
+    val sk = Frequency.sketch(items, Hashing.sha60(col("s")))
+    val q = items.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .withColumn("row", lit(1)).withColumn("col", lit(2))
+    val out = Frequency.estimate(sk, q, Hashing.sha60(col("s")))
+    assert(out.filter(col("cnt_est") < col("cnt")).count() == 0L)
+    intercept[IllegalArgumentException](
+      Frequency.estimate(sk, q.withColumnRenamed("row", "__cms_row"),
+        Hashing.sha60(col("s"))))
+  }
+
   test("depth/width contracts rejected up front") {
     intercept[IllegalArgumentException](
       Frequency.sketch(multiset(1, 1), Hashing.sha60(col("s")), d = 0))
