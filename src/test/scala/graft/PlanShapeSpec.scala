@@ -79,6 +79,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pExact.contains("LeftAnti"), pExact)
   }
 
+  test("sketch queries: bounded-state aggregates with partial combine; CMS probe stays broadcast") {
+    // HLL registers: the only exchange carries (bucket, partial-max) — a
+    // partial_max must appear BEFORE the shuffle so map tasks ship ≤256
+    // rows regardless of input size; same for the CMS (row, col) counts
+    import org.apache.spark.sql.functions.col
+    val items = spark.range(0, 1000).select(col("id").cast("string").as("s"))
+    val pHll = operators.Cardinality.registers(items, col("s"))
+      .queryExecution.executedPlan.toString
+    assert(pHll.contains("partial_max"), pHll)
+    val pCms = operators.Frequency.sketch(items, functions.Hashing.sha60(col("s")))
+      .queryExecution.executedPlan.toString
+    assert(pCms.contains("partial_count"), pCms)
+    // the estimate probe joins a broadcast of the tiny counter table —
+    // never a shuffle of the query side against it
+    val sk = operators.Frequency.sketch(items, functions.Hashing.sha60(col("s")))
+    val pEst = operators.Frequency.estimate(sk, items.limit(5),
+      functions.Hashing.sha60(col("s"))).queryExecution.executedPlan.toString
+    assert(pEst.contains("BroadcastHashJoin"), pEst)
+    assert(!pEst.contains("SortMergeJoin"), pEst)
+  }
+
   test("events scan prunes columns and pushes the filter down") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/events.parquet")
