@@ -15,23 +15,38 @@ import graft.sources.Transcripts
   * additionally prints the most complete line if the JVM is terminated
   * mid-run. Every publish also writes the same JSON atomically to
   * `BENCH_LATEST.json` (`SPARK_GRAFT_BENCH_OUT`) so a stdout-decoration or
-  * truncation mishap can never lose the artifact again. The whole run
-  * degrades to fit `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500): retry
-  * loops never start past the deadline, warm-ups and retry escalation stop
-  * past 60% of budget, and scaling rounds are cut when the remaining
-  * budget wouldn't cover them.
+  * truncation mishap can never lose the artifact again; the sidecar is
+  * additionally refreshed after EVERY query, so even a kill mid-phase
+  * loses at most one query's timing. The whole run degrades to fit
+  * `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500) and is designed to end
+  * STRICTLY under it: every iteration start is gated on a measured
+  * estimate of its own cost fitting the remaining budget, and the scaling
+  * phase shrinks its synthesized table when the leftover budget cannot
+  * cover full-size legs (the ratio is scale-free, so a smaller table still
+  * evidences the north rule — the JSON records the size actually used).
   *
   * Two parts:
   *
   *  1. per-query wall time for every SparkEntry query at $SPARK_GRAFT_SF_DIR.
+  *     Per-query time is the STEAL-GATED minimum: this microVM has bursty
+  *     hypervisor steal (identical runs 2.7s vs 71s — BENCH.md protocol),
+  *     so each iteration samples /proc/stat steal around its own window and
+  *     the published number prefers the fastest CLEAN iteration (steal
+  *     < 5% of the job's cores); queries whose every iteration was dirty
+  *     are listed in `"dirty"` so a consumer knows those numbers are
+  *     storm upper bounds, not the engine.
   *
   *  2. north-rule scaling evidence: the identical end-to-end
   *     read-parquet → parse → enrich → route → aggregate job over the same
   *     deterministic transcript table at N and 4N local cores (the sandbox
-  *     stand-in for N vs 4N executors). Each level runs `iters` times and
-  *     takes the minimum (JIT/codegen warm-up and sandbox noise produce
-  *     multi-second outliers; steady-state is what a long-running cluster
-  *     job sees). Defaults: N=1 vs 4N=4, both below this single node's
+  *     stand-in for N vs 4N executors). Each leg records every iteration's
+  *     (sec, steal-sec) pair in the JSON, efficiency is computed from the
+  *     steal-gated minima, and the block carries `clean_lo`/`clean_hi`/
+  *     `clean`: r5 published efficiency 1.853 — physically impossible,
+  *     the 1-core leg was steal-slowed 2.7× with no marker — so a reading
+  *     is now flagged dirty unless both legs had a clean window AND the
+  *     ratio lands in the physically plausible [0.5, 1.05] band.
+  *     Defaults: N=1 vs 4N=4, both below this single node's
   *     memory-bandwidth ceiling — measured separately and reported as
   *     `max_cores_rows_per_sec` — because a real 4N-executor cluster
   *     multiplies memory buses with cores, while a single box does not;
@@ -79,50 +94,72 @@ object Bench {
       try src.getLines().next().trim.split("\\s+")(8).toLong finally src.close()
     } catch { case _: Throwable => 0L }
 
-  /** Minimum over timed iterations, steal-aware: run at least `itersMin`
-    * times, and keep going (up to `attemptsMax`) until `needClean`
-    * iterations saw hypervisor steal under 2% of machine capacity during
-    * their own window. Dirty iterations still feed the min (a dirty
-    * reading is a valid upper bound); the retry only buys more chances at
-    * a quiet window, so a burst covering one leg's whole initial window
-    * can't skew the N-vs-4N efficiency ratio the way it did in r2/r3
-    * dry-runs (recorded 0.675/0.786 for an engine that measures 0.82-0.93
-    * quiet).
+  /** One timed iteration: wall seconds + hypervisor-steal seconds observed
+    * during its own window. `clean` scales the cleanliness bar to the
+    * measured job's allocation: machine-wide steal is compared against 5%
+    * of the job's own cores, not of the whole machine — 0.6 stolen cores
+    * is negligible for a 32-thread query run but is 15% of a 4-core
+    * scaling leg and 60% of a 1-core one.
     */
-  /** `cores` scales the cleanliness bar to the measured job's allocation:
-    * machine-wide steal is compared against 5% of the job's own cores, not
-    * of the whole machine — 0.6 stolen cores is negligible for a 32-thread
-    * query run but is 15% of a 4-core scaling leg and 60% of a 1-core one.
-    *
-    * `deadlineNanos` is the run-wide wall-clock budget (r3 post-mortem:
-    * the steal-aware retries escalated hardest exactly when the machine
-    * was slowest and the official bench hit the driver's time cap with
-    * nothing printed). Past the deadline no retry starts — but at least
-    * one iteration ALWAYS runs, so every query records an upper bound.
+  private final case class Iter(sec: Double, stealSec: Double, cores: Int) {
+    def clean: Boolean = stealSec / sec < 0.05 * cores
+  }
+
+  /** All iterations of one measurement. The published number is the
+    * steal-GATED minimum: the fastest clean iteration when one exists
+    * (a clean window is the engine; a dirty minimum is only an upper
+    * bound), else the overall minimum with `isClean = false`.
     */
-  private def robustMin(itersMin: Int, attemptsMax: Int, needClean: Int,
+  private final case class Meas(iters: Vector[Iter]) {
+    def isEmpty: Boolean = iters.isEmpty
+    def cleanIters: Vector[Iter] = iters.filter(_.clean)
+    def isClean: Boolean = cleanIters.nonEmpty
+    def gatedIter: Iter =
+      (if (isClean) cleanIters else iters).minBy(_.sec)
+    def gated: Double = gatedIter.sec
+    def itersJson: String = iters
+      .map(i => f"[${i.sec}%.3f,${i.stealSec}%.3f]").mkString("[", ",", "]")
+  }
+  private val MeasEmpty = Meas(Vector.empty)
+
+  /** Steal-aware repeated measurement under a hard budget. Runs up to
+    * `attemptsMax` iterations of `f`, stopping early once `itersMin`
+    * iterations ran AND `needClean` of them saw a quiet steal window.
+    * Budget discipline (r5 verdict #2 — the run must end STRICTLY under
+    * budget): a new iteration starts only when the remaining budget covers
+    * a measured estimate of its cost — the max of this measurement's own
+    * iterations once one ran, else `estimateSec` — times a 1.3 safety
+    * factor. `firstAlways` keeps the artifact-completeness guarantee for
+    * cheap per-query timings (iteration 0 runs regardless, bounding the
+    * overshoot at one query); the expensive scaling legs pass it as false
+    * so a leg that cannot fit is SKIPPED and reported missing instead of
+    * blowing the deadline the way r5's 1-core leg did (wall 1527.5s vs
+    * 1500).
+    */
+  private def robustMeas(itersMin: Int, attemptsMax: Int, needClean: Int,
       cores: Int = Runtime.getRuntime.availableProcessors(),
-      deadlineNanos: Long = Long.MaxValue)(
-      f: => Unit): Double = {
-    var clean = 0; var attempts = 0; var best = Double.MaxValue
-    def inBudget: Boolean = attempts == 0 || System.nanoTime() < deadlineNanos
-    while ((attempts < itersMin && inBudget) ||
-      (clean < needClean && attempts < attemptsMax && inBudget)) {
+      deadlineNanos: Long = Long.MaxValue,
+      estimateSec: Double = 10.0,
+      firstAlways: Boolean = true)(
+      f: => Unit): Meas = {
+    var iters = Vector.empty[Iter]
+    def est: Double =
+      if (iters.isEmpty) estimateSec else iters.map(_.sec).max
+    def fits: Boolean =
+      (System.nanoTime() + (est * 1.3 * 1e9).toLong) < deadlineNanos
+    def canStart: Boolean =
+      (iters.isEmpty && firstAlways) || fits
+    while (((iters.size < itersMin) ||
+      (iters.count(_.clean) < needClean && iters.size < attemptsMax)) &&
+      canStart) {
       val s0 = stealJiffies(); val t0 = System.nanoTime()
       f
       val el = (System.nanoTime() - t0) / 1e9
       val st = (stealJiffies() - s0) / 100.0
-      best = math.min(best, el)
-      if (st / el < 0.05 * cores) clean += 1
-      attempts += 1
+      iters :+= Iter(el, st, cores)
     }
-    best
+    Meas(iters)
   }
-
-  private def bestOf(iters: Int, cores: Int = Runtime.getRuntime.availableProcessors(),
-      deadlineNanos: Long = Long.MaxValue)(f: => Unit): Double =
-    robustMin(iters, iters * 3, needClean = 3, cores = cores,
-      deadlineNanos = deadlineNanos)(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,15 +173,23 @@ object Bench {
     // Run-wide wall-clock budget. r3 post-mortem: the official run hit the
     // driver's time cap (rc 124) and the single end-of-run println
     // recorded NOTHING, so rounds 2-3 produced zero trustworthy official
-    // artifacts. Three defenses now: (a) a budget every retry loop
-    // respects (phases degrade instead of overrunning), (b) the
-    // per-query JSON line prints + flushes the moment part 1 finishes,
+    // artifacts. Defenses: (a) a budget every iteration start respects
+    // (phases degrade/shrink instead of overrunning — r5 still ended at
+    // 1527.5s vs 1500 because the scaling legs' first iteration was exempt;
+    // it no longer is), (b) the per-query JSON line prints + flushes the
+    // moment part 1 finishes and the sidecar refreshes after every query,
     // (c) a shutdown hook prints the most complete line if the driver
     // kills the JVM anyway.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
     val startNanos = System.nanoTime()
     val deadline = startNanos + budgetSec * 1000000000L
+    // publishing + session-teardown slack reserved INSIDE the budget: all
+    // measurement gating uses workDeadline, so the final publish lands
+    // before budgetSec even when the last iteration used its full estimate
+    val reserveSec = 20.0
+    val workDeadline = deadline - (reserveSec * 1e9).toLong
     def remainingSec: Double = (deadline - System.nanoTime()) / 1e9
+    def remainingWorkSec: Double = (workDeadline - System.nanoTime()) / 1e9
     @volatile var latestJson: String = null
     @volatile var printedFinal = false
     // Sidecar artifact (r4 VERDICT #1): the driver's stdout consumer can
@@ -153,9 +198,8 @@ object Bench {
     // (tmp + move) so a reader never sees a half-written file.
     val sidecar = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json"))
-    def publish(json: String): Unit = {
+    def publishSidecar(json: String): Unit = {
       latestJson = json
-      println(json); System.out.flush()
       try {
         val tmp = sidecar.resolveSibling(sidecar.getFileName.toString + ".tmp")
         java.nio.file.Files.write(tmp,
@@ -163,7 +207,11 @@ object Bench {
         java.nio.file.Files.move(tmp, sidecar,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch { case _: Throwable => () } // stdout copy already out
+      } catch { case _: Throwable => () } // in-memory copy already kept
+    }
+    def publish(json: String): Unit = {
+      publishSidecar(json)
+      println(json); System.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!printedFinal && latestJson != null) {
@@ -176,25 +224,16 @@ object Bench {
     // warm-up pass at a small sf: same plans → same generated classes, so
     // JIT + codegen caches are hot and the timed numbers are the
     // steady-state a long-running cluster job sees (BENCH.md protocol),
-    // not first-query JVM warmup
-    // r4 overran the budget (wall 1692s vs 1500s) partly because this loop
-    // had no deadline check: 57 queries × storm-slowed warm runs compound.
-    // Each warm query now checks the 60%-of-budget mark before starting —
-    // the warm-up buys steadiness, never completeness, so it is the first
-    // thing to go.
+    // not first-query JVM warmup. The warm-up buys steadiness, never
+    // completeness, so it is the first thing the budget cuts.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        if (remainingSec > 0.4 * budgetSec)
+        if (remainingSec > 0.6 * budgetSec)
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // a failed query records the sentinel -1 (and lands in "failed") so
     // downstream consumers can't mistake breakage for a fast run.
-    // Per-query time = MIN over queryIters runs: this microVM has bursty
-    // CPU steal (identical runs measured 2.7s vs 71s — BENCH.md protocol),
-    // so a single-shot artifact records noise, not the engine (r2's
-    // official file had one query inflated 23×). The minimum is the
-    // steady-state a quiet machine reproduces.
     val queryIters = sys.env.getOrElse("SPARK_GRAFT_QUERY_ITERS", "3").toInt
     // bounded-fixture exemption (r3 VERDICT): q_dedup_ngram is the
     // intentionally-quadratic ground-truth verifier (~11s at sf0.1) whose
@@ -208,94 +247,181 @@ object Bench {
     // retraction rewrite + second batch) in-query — same fixture class
     val singleShot = Set("q_dedup_ngram", "q_neardup_incremental",
       "q_dedup_retract")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var failed = false
-      // budget degradation (r4 VERDICT #2): once 60% of the budget is
-      // spent, every remaining query drops to a single shot — the
-      // "always one iteration" artifact-completeness guarantee stays,
-      // but retry escalation stops compounding in a steal storm.
-      def run(f: => Unit): Double =
-        if (singleShot(name) || remainingSec < 0.4 * budgetSec)
-          robustMin(1, 2, needClean = 1, deadlineNanos = deadline)(f)
-        else
-          robustMin(queryIters, queryIters + 2, needClean = 2,
-            deadlineNanos = deadline)(f)
-      val t = run {
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    var measured = Vector.empty[(String, Meas, Boolean)] // name, meas, failed
+    def partialJson(scaling: String): String = {
+      val done = measured
+      val qs = done.map { case (n, m, fl) =>
+        "\"" + n + "\":" + f"${if (fl || m.isEmpty) -1.0 else m.gated}%.3f"
+      }.mkString("{", ",", "}")
+      val failed = done.collect { case (n, _, true) => n }
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val dirty = done.collect { case (n, m, false) if !m.isEmpty && !m.isClean => n }
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = done.collect { case (_, m, false) if !m.isEmpty => m.gated }.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"dirty":$dirty,"sf":"$sfDir","scaling":$scaling}"""
+    }
+    ordered.foreach { case (name, fn) =>
+      var failedQ = false
+      // budget degradation: once 60% of the budget is spent, every
+      // remaining query drops to a single shot — the "always one
+      // iteration" artifact-completeness guarantee stays, but retry
+      // escalation stops compounding in a steal storm.
+      def timedRun(): Unit =
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed = true }
-      }
-      name -> (if (failed) -1.0 else t)
+          failedQ = true }
+      // iteration 0 always runs (firstAlways — the artifact-completeness
+      // guarantee: every query records at least an upper bound); retries
+      // are gated on the query's own observed cost fitting the deadline
+      val m =
+        if (singleShot(name) || remainingSec < 0.4 * budgetSec)
+          robustMeas(1, 2, needClean = 1, cores = cpus,
+            deadlineNanos = workDeadline)(timedRun())
+        else
+          robustMeas(queryIters, queryIters + 2, needClean = 2, cores = cpus,
+            deadlineNanos = workDeadline)(timedRun())
+      measured :+= ((name, m, failedQ))
+      publishSidecar(partialJson("null")) // per-query insurance refresh
     }
-    val failed = results.collect { case (n, t) if t < 0 => n }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    def jsonLine(scaling: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scaling":$scaling}"""
+    def jsonLine(scaling: String): String = partialJson(scaling)
     // publish the per-query record NOW: if any later phase dies at the
     // driver's cap, this line has already crossed stdout (r3 lost the
     // whole artifact to a buffered end-of-run println)
     publish(jsonLine("null"))
 
-    // materialize the deterministic transcript table once (untimed setup)
-    Transcripts.synthesize(spark, benchTurns / 50, 50, numPartitions = 64)
-      .toDF().write.mode("overwrite").parquet(turnsPath)
-    // saturation datapoint at all machine cores (warm pass only when the
-    // budget is comfortable — it buys steadiness, not correctness)
-    if (remainingSec > 180) e2eJob(spark, turnsPath)
-    val tMax = bestOf(math.max(2, iters - 1), deadlineNanos = deadline)(
-      e2eJob(spark, turnsPath))
-    spark.stop()
-
-    // ---- part 2: N vs 4N cores, steady state (min of iters).
-    // Efficiency is a RATIO of two minima measured in different wall-clock
-    // windows, so a steal burst covering one leg's whole window skews it
-    // even when each leg is min-of-iters (observed: one contaminated 4-core
-    // window recorded 0.675 for an engine that measures 0.82+ quiet).
-    // Interleave up to `rounds` alternating sessions per leg and take the
-    // overall min, so each leg gets more than one chance at a quiet
-    // window — but ONLY while the budget allows another round: the first
-    // round always runs (there must be an efficiency figure), later
-    // rounds are skipped when the remaining budget would not cover a
-    // round of the same measured cost plus a publishing reserve.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
-    def measure(cores: Int): Double = {
-      val s = session(cores)
-      if (remainingSec > 180) e2eJob(s, turnsPath) // warm when affordable
-      val t = bestOf(iters, cores, deadlineNanos = deadline)(e2eJob(s, turnsPath))
-      s.stop()
-      t
-    }
-    val legs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    var round = 0
-    var lastRoundSec = 0.0
-    var continue = true
-    while (round < rounds && continue) {
-      val r0 = System.nanoTime()
-      legs += hiCores -> measure(hiCores)
-      legs += loCores -> measure(loCores)
-      lastRoundSec = (System.nanoTime() - r0) / 1e9
-      round += 1
-      continue = remainingSec > lastRoundSec * 1.2 + 30.0
-    }
-    val tHi = legs.collect { case (c, t) if c == hiCores => t }.min
-    val tLo = legs.collect { case (c, t) if c == loCores => t }.min
-
-    val thrHi = benchTurns / tHi
-    val thrLo = benchTurns / tLo
-    val efficiency = thrHi / (4.0 * thrLo)
-
-    val scaling =
-      f"""{"turns":$benchTurns,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
-        f""""sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,""" +
-        f""""rows_per_sec_lo":${thrLo.toLong},"rows_per_sec_hi":${thrHi.toLong},""" +
-        f""""efficiency":$efficiency%.3f,"rounds_run":$round,""" +
+    // ---- part 2: north-rule scaling. Every step is gated on a measured
+    // estimate of its own cost; when the full-size legs cannot fit the
+    // leftover budget, the synthesized table SHRINKS (the N-vs-4N ratio is
+    // scale-free) instead of the run overrunning.
+    def scalingJson(turns: Long, legsByCores: Map[Int, Vector[Meas]],
+        maxMeas: Meas, wallNote: String): String = {
+      def legOf(c: Int): Option[Meas] = {
+        val ms = legsByCores.getOrElse(c, Vector.empty).filter(_.iters.nonEmpty)
+        if (ms.isEmpty) None else Some(Meas(ms.flatMap(_.iters)))
+      }
+      val lo = legOf(loCores); val hi = legOf(hiCores)
+      // throughput(hi) / (4 × throughput(lo)) — the turns term cancels
+      val eff = for (l <- lo; h <- hi) yield l.gated / (4.0 * h.gated)
+      // clean = both legs saw a quiet window AND the ratio is physically
+      // plausible (sub-linear but not collapsed); anything else is a storm
+      // artifact a consumer must not chart (r5 published 1.853 unflagged)
+      val clean = lo.exists(_.isClean) && hi.exists(_.isClean) &&
+        eff.exists(e => e >= 0.5 && e <= 1.05)
+      def d(o: Option[Double]): String = o.map(v => f"$v%.3f").getOrElse("null")
+      def l(o: Option[Long]): String = o.map(_.toString).getOrElse("null")
+      f"""{"turns":$turns,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
+        f""""sec_lo":${d(lo.map(_.gated))},"sec_hi":${d(hi.map(_.gated))},""" +
+        f""""steal_lo":${d(lo.map(_.gatedIter.stealSec))},"steal_hi":${d(hi.map(_.gatedIter.stealSec))},""" +
+        f""""iters_lo":${lo.map(_.itersJson).getOrElse("[]")},"iters_hi":${hi.map(_.itersJson).getOrElse("[]")},""" +
+        f""""clean_lo":${lo.map(_.cleanIters.size).getOrElse(0)},"clean_hi":${hi.map(_.cleanIters.size).getOrElse(0)},""" +
+        f""""rows_per_sec_lo":${l(lo.map(m => (turns / m.gated).toLong))},""" +
+        f""""rows_per_sec_hi":${l(hi.map(m => (turns / m.gated).toLong))},""" +
+        f""""efficiency":${d(eff)},"clean":$clean,$wallNote""" +
         f""""budget_sec":$budgetSec,"wall_sec":${(System.nanoTime() - startNanos) / 1e9}%.1f,""" +
-        f""""max_cores":$cpus,"max_cores_sec":$tMax%.3f,""" +
-        f""""max_cores_rows_per_sec":${(benchTurns / tMax).toLong}}"""
+        f""""max_cores":$cpus,"max_cores_turns":$benchTurns,""" +
+        f""""max_cores_sec":${d(Some(maxMeas).filter(!_.isEmpty).map(_.gated))},""" +
+        f""""max_cores_rows_per_sec":${l(Some(maxMeas).filter(!_.isEmpty).map(m => (benchTurns / m.gated).toLong))}}"""
+    }
+
+    val sessionOverheadSec = 12.0 // local SparkSession spinup + teardown
+    var scaleTurns = benchTurns
+    var maxMeas = MeasEmpty
+    val legsByCores = scala.collection.mutable.Map
+      .empty[Int, Vector[Meas]].withDefaultValue(Vector.empty)
+    var roundsRun = 0
+
+    if (remainingWorkSec > 90) {
+      // full-size table synthesis (timed — its cost scales the shrink math)
+      val tSynth0 = System.nanoTime()
+      Transcripts.synthesize(spark, benchTurns / 50, 50, numPartitions = 64)
+        .toDF().write.mode("overwrite").parquet(turnsPath)
+      val synthSec = (System.nanoTime() - tSynth0) / 1e9
+      // saturation datapoint at all machine cores (warm pass only when the
+      // budget is comfortable — it buys steadiness, not correctness).
+      // firstAlways=false: this datapoint is informative, never worth an
+      // overrun — skipping it also skips the legs (no cost model).
+      if (remainingSec > 0.3 * budgetSec) e2eJob(spark, turnsPath)
+      maxMeas = robustMeas(math.max(2, iters - 1), math.max(2, iters - 1) * 3,
+        needClean = 3, cores = cpus, deadlineNanos = workDeadline,
+        estimateSec = 25.0, firstAlways = false)(e2eJob(spark, turnsPath))
+      spark.stop()
+
+      if (!maxMeas.isEmpty) {
+        val t32 = maxMeas.gated
+        // a-priori per-leg iteration estimates from the same-window t32
+        // reading (storm-informed: a storm inflates t32 and the estimates
+        // with it, which is exactly when caution is due). 1.6 covers the
+        // sub-linear gap between ideal core-ratio scaling and reality.
+        def estIter(cores: Int, turns: Long): Double =
+          t32 * (cpus.toDouble / cores) * 1.6 * (turns.toDouble / benchTurns)
+        def estRound(turns: Long): Double =
+          estIter(hiCores, turns) * 2 + estIter(loCores, turns) * 2 +
+            2 * sessionOverheadSec
+        if (remainingWorkSec < estRound(benchTurns)) {
+          // shrink so an estimated full round + a re-synthesis fits; floor
+          // at 1/64 of full size (≥62.5k turns — still thousands of tasks'
+          // worth of work per leg, a meaningful ratio)
+          val budgetForLegs = remainingWorkSec - synthSec * 0.5 - 5
+          val factor = math.max(1.0 / 64,
+            math.min(1.0, budgetForLegs / estRound(benchTurns)))
+          scaleTurns = math.max(benchTurns / 64, (benchTurns * factor).toLong)
+          if (scaleTurns < benchTurns) {
+            val s = session(cpus)
+            Transcripts.synthesize(s, scaleTurns / 50, 50, numPartitions = 64)
+              .toDF().write.mode("overwrite").parquet(turnsPath)
+            s.stop()
+          }
+        }
+
+        // alternating rounds: efficiency is a RATIO of minima measured in
+        // different wall-clock windows, so a steal burst covering one
+        // leg's whole window skews it even when each leg is min-of-iters.
+        // Up to `rounds` rounds give each leg more than one chance at a
+        // quiet window; a round only starts when the budget fits it, and
+        // NO leg iteration is deadline-exempt (r5's overrun source).
+        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+        def measure(cores: Int, estimate: Double): Meas = {
+          if (remainingWorkSec < estimate * 1.3 + sessionOverheadSec)
+            return MeasEmpty
+          val s = session(cores)
+          try {
+            if (remainingSec > 0.3 * budgetSec) e2eJob(s, turnsPath) // warm
+            robustMeas(iters, iters * 3, needClean = 3, cores = cores,
+              deadlineNanos = workDeadline, estimateSec = estimate,
+              firstAlways = false)(e2eJob(s, turnsPath))
+          } finally s.stop()
+        }
+        var continue = true
+        var lastRoundSec = estRound(scaleTurns)
+        while (roundsRun < rounds && continue) {
+          val r0 = System.nanoTime()
+          legsByCores(hiCores) :+= measure(hiCores, estIter(hiCores, scaleTurns))
+          // the lo-leg a-priori estimate comes from the measured hi leg
+          // when one exists: the 32→1 core-ratio extrapolation overshoots
+          // ~8× (single-socket bandwidth ceiling inflates t32 relative to
+          // unsaturated legs), which would skip lo legs that comfortably
+          // fit; hi×(ratio)×1.5 is within 2× of the quiet signature
+          val hiSeen = legsByCores(hiCores).filter(_.iters.nonEmpty)
+          val loEst =
+            if (hiSeen.nonEmpty)
+              hiSeen.map(_.gated).min * (hiCores.toDouble / loCores) * 1.5
+            else estIter(loCores, scaleTurns)
+          legsByCores(loCores) :+= measure(loCores, loEst)
+          lastRoundSec = (System.nanoTime() - r0) / 1e9
+          roundsRun += 1
+          // stop early once both legs are clean (the ratio is trustworthy;
+          // more rounds only spend budget) or the next round cannot fit
+          val bothClean = legsByCores(hiCores).exists(_.isClean) &&
+            legsByCores(loCores).exists(_.isClean)
+          continue = !bothClean && remainingWorkSec > lastRoundSec * 1.2
+        }
+      }
+    } else spark.stop()
+
+    val scaling = scalingJson(scaleTurns, legsByCores.toMap, maxMeas,
+      f""""rounds_run":$roundsRun,""")
     publish(jsonLine(scaling))
     printedFinal = true
   }

@@ -268,12 +268,16 @@ object Pipeline {
       // that never delivered the content — a later retraction of the
       // bypass file would then keep that phantom row and re-suppress
       // content no sink holds (the tombstone bug through a side door)
+      // null-safe equality (<=>): a null text hashes to null, and under
+      // === the join condition is null, so a null-text row carried by both
+      // an invalidated file and the main batch would never be excluded and
+      // deliver twice
       val mainRows =
         if (invalidatedNames.isEmpty) turns.filter(!fromInvalidated)
         else turns.filter(!fromInvalidated).join(
           bypassRows.select(
             graft.functions.Hashing.sha60(col("text")).as("__bp_h60")).distinct(),
-          graft.functions.Hashing.sha60(col("text")) === col("__bp_h60"),
+          graft.functions.Hashing.sha60(col("text")) <=> col("__bp_h60"),
           "left_anti")
       val batch = staged(mainRows, compact = true)
       // the bypass batch is staged AFTER the main one and never compacts,
@@ -404,7 +408,18 @@ object Pipeline {
                     col("message"), col("host"), col("labels")))
               val spec = graft.sinks.HttpSink.WireSpec(rule.kind, wireUrl,
                 rule.target, rule.user, rule.pass,
-                cfg.batchSize, cfg.batchIntervalMs)
+                cfg.batchSize, cfg.batchIntervalMs,
+                maxRetries = cfg.batchRetries)
+              // the POSTs are a task side effect: a SPECULATIVE duplicate
+              // attempt re-delivers its partition's rows, so the
+              // at-least-once-per-attempt contract (HttpSink.deliver)
+              // is enforced here, not just documented — wire delivery
+              // refuses to run under speculation
+              require(!spark.sparkContext.getConf
+                .getBoolean("spark.speculation", defaultValue = false),
+                "wire sinks require spark.speculation=false: a speculative " +
+                  "task attempt would re-POST rows the original already " +
+                  "delivered")
               // localCheckpoint(eager) EXECUTES the POSTs here, once: the
               // accounting frame is otherwise lazy and a recomputation
               // (fetch failure, speculative task) would re-POST delivered

@@ -57,7 +57,9 @@ object ConfigLoader {
     "collector.dedup.threshold", "collector.dedup.ngram",
     "collector.dedup.bands", "collector.dedup.rows-per-band",
     "collector.dedup.retract-on-invalidate",
-    "sink.batch-size", "sink.batch-interval",
+    "collector.sketch.cms-depth", "collector.sketch.cms-width",
+    "collector.sketch.hll-p", "collector.sketch.expected-distinct",
+    "sink.batch-size", "sink.batch-interval", "sink.retries",
     "prometheus.enable", "prometheus.addr")
 
   def envName(key: String): String =
@@ -67,10 +69,12 @@ object ConfigLoader {
   private val boolKeys = Set("collector.multiline.java", "prometheus.enable",
     "collector.dedup.retract-on-invalidate")
   private val intKeys = Set("collector.salt-buckets",
-    "collector.lineage-partitions", "sink.batch-size",
+    "collector.lineage-partitions", "sink.batch-size", "sink.retries",
     "collector.workers", "collector.fingerprint-size",
     "collector.dedup.ngram", "collector.dedup.bands",
-    "collector.dedup.rows-per-band")
+    "collector.dedup.rows-per-band",
+    "collector.sketch.cms-depth", "collector.sketch.cms-width",
+    "collector.sketch.hll-p", "collector.sketch.expected-distinct")
 
   val sinkKinds: Set[String] =
     Set("console", "file", "clickhouse", "opensearch", "parquet")
@@ -166,6 +170,12 @@ object ConfigLoader {
         else Right(v.toInt)
       case Some(other) => Left(s"$k: expected integer, got $other")
     }
+    // full 64-bit range — expected-distinct at corpus scale exceeds 2^31
+    def long(k: String, dflt: Long): Either[String, Long] = map.get(k) match {
+      case None => Right(dflt)
+      case Some(I(v)) => Right(v)
+      case Some(other) => Left(s"$k: expected integer, got $other")
+    }
     def bool(k: String, dflt: Boolean): Either[String, Boolean] = map.get(k) match {
       case None => Right(dflt)
       case Some(B(v)) => Right(v)
@@ -199,6 +209,7 @@ object ConfigLoader {
       batch <- batchChecks(lk)
       ml <- multiline(lk)
       dd <- dedupStage(lk)
+      sk <- sketchSpec(lk)
       sinks <- sinkRules(kvs, lk)
       labels <- Right(kvs.collect {
         case (k, S(v)) if k.startsWith("sink.labels.") =>
@@ -218,9 +229,11 @@ object ConfigLoader {
       fingerprintSize = fpSize,
       labels = labels,
       dedup = dd,
+      sketch = sk,
       prometheusAddr = promAddr,
       batchSize = batch._1,
-      batchIntervalMs = batch._2)
+      batchIntervalMs = batch._2,
+      batchRetries = batch._3)
   }
 
   /** The `[collector.dedup]` sub-section — an engine-side extension (no
@@ -243,6 +256,22 @@ object ConfigLoader {
       retract <- lk.bool("collector.dedup.retract-on-invalidate", dflt = true)
     } yield Some(graft.model.DedupStageSpec(mode, dir, thr, ngram, bands, rpb,
       retractOnInvalidate = retract))
+  }
+
+  /** The `[collector.sketch]` sub-section — sizing for the CMS/HLL sketch
+    * operators (engine extension, no reference analogue). Saturation and
+    * range checks live in [[graft.model.SketchSpec.validate]], reached via
+    * PipelineConfig.validate; this just unmarshals.
+    */
+  private def sketchSpec(lk: Lookup): Either[String, Option[graft.model.SketchSpec]] = {
+    val present = lk.map.keys.exists(_.startsWith("collector.sketch."))
+    if (!present) return Right(None)
+    for {
+      d <- lk.int("collector.sketch.cms-depth", 4)
+      w <- lk.int("collector.sketch.cms-width", 1024)
+      p <- lk.int("collector.sketch.hll-p", 8)
+      n <- lk.long("collector.sketch.expected-distinct", -1L)
+    } yield Some(graft.model.SketchSpec(d, w, p, if (n < 0) None else Some(n)))
   }
 
   /** poll-interval > 0 and workers >= 1 when set — validated for parity;
@@ -295,16 +324,22 @@ object ConfigLoader {
 
   /** sink.batch-size > 0, sink.batch-interval > 0 when set — the reference
     * validations (config.go:198-204). The values are CONSUMED by the HTTP
-    * wire sinks (rows per bulk POST / max flush gap); the parquet/file
-    * flavors remain lossless-batch (COVERAGE.md §2.6). Yields (size, ms).
+    * wire sinks (rows per bulk POST / max flush gap — interval is
+    * best-effort, see PipelineConfig.batchIntervalMs); the parquet/file
+    * flavors remain lossless-batch (COVERAGE.md §2.6). sink.retries is the
+    * engine-side bounded re-POST count for transiently failed wire batches
+    * (the reference drops a failed flush; 0 keeps that parity). Yields
+    * (size, ms, retries).
     */
-  private def batchChecks(lk: Lookup): Either[String, (Int, Long)] = for {
+  private def batchChecks(lk: Lookup): Either[String, (Int, Long, Int)] = for {
     bs <- lk.int("sink.batch-size", 200)
     bi <- lk.str("sink.batch-interval", "2s")
+    rt <- lk.int("sink.retries", 0)
     _ <- if (bs > 0) Right(()) else Left("sink.batch-size must be > 0")
     ms <- parseDuration(bi)
     _ <- if (ms > 0) Right(()) else Left("sink.batch-interval must be > 0")
-  } yield (bs, ms)
+    _ <- if (rt >= 0) Right(()) else Left("sink.retries must be >= 0")
+  } yield (bs, ms, rt)
 
   /** The multiline sub-unmarshal incl. the Java preset (config.go:100-131)
     * and MultilineReader.Validate strictness (multline_reader.go:37-48:

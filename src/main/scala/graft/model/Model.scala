@@ -188,6 +188,14 @@ final case class PipelineConfig(
       * `incrementalMinhashStaged`.
       */
     dedup: Option[DedupStageSpec] = None,
+    /** Optional sizing surface for the sketch operators
+      * ([[graft.operators.Frequency]] d×w count-min,
+      * [[graft.operators.Cardinality]] 2^p-register HLL) — an engine-side
+      * extension: the operators take parameters, this is where a campaign
+      * configures them, with saturation validation (a 4×1024 CMS drowns on
+      * a 100 TB vocabulary — see [[SketchSpec.validate]]).
+      */
+    sketch: Option[SketchSpec] = None,
     /** `/metrics` endpoint address when `prometheus.enable` is set
       * (cmd/freader/main.go:69-84; prometheus.addr required by the
       * validation matrix, config.go:227-229). None ⇒ no endpoint.
@@ -198,10 +206,23 @@ final case class PipelineConfig(
       * parquet/file flavors remain lossless-batch (COVERAGE.md §2.6).
       */
     batchSize: Int = 200,
-    /** Wire-sink flush interval (sink.batch-interval) — an open partial
-      * batch flushes when this much time passed since the last flush.
+    /** Wire-sink flush interval (sink.batch-interval) — BEST-EFFORT: an
+      * open partial batch flushes when this much time passed since the
+      * last flush, evaluated as rows arrive and at partition end. Unlike
+      * the reference Batcher's timer goroutine (sink/common/batch.go),
+      * there is no wall-clock timer thread, so a partial batch behind a
+      * stalled upstream iterator sits until the next row or the iterator
+      * ends — in a batch engine the iterator always ends, so the bound
+      * that matters (no partial batch survives the task) holds; under
+      * saturation the size trigger dominates in both systems.
       */
-    batchIntervalMs: Long = 2000L
+    batchIntervalMs: Long = 2000L,
+    /** Bounded re-POSTs of a wire batch whose whole delivery failed
+      * transiently (transport error / 5xx / 429) before its rows count as
+      * failed. 0 = the reference's log-and-drop (opensearch.go:62-66).
+      * Never re-POSTs a batch the remote answered 2xx.
+      */
+    batchRetries: Int = 0
 ) {
   def validate(
       isDir: String => Boolean = graft.operators.PathFilter.localIsDir
@@ -234,11 +255,59 @@ final case class PipelineConfig(
     else if (sinks.exists(s => s.url.isDefined &&
       !Set("opensearch", "clickhouse").contains(s.kind)))
       Left("sink url is only supported for opensearch/clickhouse kinds")
+    // the ClickHouse target is interpolated into an INSERT statement —
+    // reject anything that isn't a plain [db.]table identifier so a
+    // malformed or hostile config value can't smuggle SQL to the endpoint
+    // (HttpSink additionally backtick-quotes the parts)
+    else if (sinks.exists(s => s.kind == "clickhouse" && s.url.isDefined &&
+      !s.target.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?")))
+      Left("clickhouse table must be a [db.]table identifier " +
+        "([A-Za-z0-9_] parts)")
     else if (batchSize < 1) Left("sink.batch-size must be > 0")
     else if (batchIntervalMs < 1) Left("sink.batch-interval must be > 0")
-    else dedup match {
-      case Some(d) => d.validate().map(_ => this)
-      case None => Right(this)
+    else if (batchRetries < 0) Left("sink.retries must be >= 0")
+    else {
+      val dv = dedup.map(_.validate().map(_ => ())).getOrElse(Right(()))
+      val sv = sketch.map(_.validate().map(_ => ())).getOrElse(Right(()))
+      dv.flatMap(_ => sv).map(_ => this)
+    }
+}
+
+/** Sizing of the sketch operators ([[PipelineConfig.sketch]]): count-min
+  * depth×width and HLL precision, with the saturation check a 100 TB
+  * campaign needs BEFORE burning a pass. Sizing rules (documented in
+  * COVERAGE.md):
+  *
+  *  - CMS point estimates over-count by ≈ the collision mass landing in a
+  *    counter; with n distinct keys the average load is n/w keys per
+  *    counter, and past ~64 the min-over-d rows is dominated by collision
+  *    mass rather than the item — so when `expectedDistinct` is declared,
+  *    `cmsWidth >= expectedDistinct / 64` is REQUIRED (choose w ≈ e/ε for
+  *    a target additive error of ε·N to be safe).
+  *  - HLL standard error is 1.04/√(2^p) regardless of n (no n-dependent
+  *    saturation); p ∈ [7, 16] spans 2.9% down to 0.4%.
+  */
+final case class SketchSpec(
+    cmsDepth: Int = 4,
+    cmsWidth: Int = 1024,
+    hllP: Int = 8,
+    /** Declared scale of the keyed domain (distinct shingles / urls /
+      * tokens expected). None skips the saturation check.
+      */
+    expectedDistinct: Option[Long] = None) {
+  def validate(): Either[String, SketchSpec] =
+    if (cmsDepth < 1 || cmsDepth > 16)
+      Left("sketch cms-depth must be in [1, 16]")
+    else if (cmsWidth < 2) Left("sketch cms-width must be >= 2")
+    else if (hllP < 7 || hllP > 16) Left("sketch hll-p must be in [7, 16]")
+    else if (expectedDistinct.exists(_ < 1))
+      Left("sketch expected-distinct must be >= 1")
+    else expectedDistinct match {
+      case Some(n) if n > cmsWidth.toLong * 64 =>
+        Left(s"sketch cms-width $cmsWidth saturates at $n expected distinct " +
+          s"keys (~${n / cmsWidth} keys per counter; bound is 64): " +
+          "size cms-width >= expected-distinct / 64")
+      case _ => Right(this)
     }
 }
 

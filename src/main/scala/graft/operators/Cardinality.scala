@@ -60,10 +60,28 @@ object Cardinality {
 
   /** Register-wise merge: the sketch of a union is the max per bucket —
     * the distributive rollup path (per-shard sketches → corpus sketch).
+    * All inputs must share ONE precision, threaded here like the
+    * registers/estimate pair: a row whose bucket exceeds 2^p (a register
+    * table built at a HIGHER precision — the silent mis-scale misuse)
+    * fails the merge job via a load-bearing runtime check on the bucket
+    * column itself (load-bearing so column pruning cannot drop it). The
+    * converse — a LOWER-precision table fed to a higher-p merge — is
+    * structurally undetectable (its buckets are a valid subset), so the
+    * contract stays: one p per sketch family, end to end.
     */
-  def merge(regs: DataFrame*): DataFrame = {
+  def merge(p: Int, regs: DataFrame*): DataFrame = {
+    require(p >= 7 && p <= 16, s"sketch precision p=$p outside [7, 16]")
     require(regs.nonEmpty, "merge needs at least one register table")
-    regs.reduce(_ unionByName _).groupBy("bucket").agg(max(col("mj")).as("mj"))
+    val m = 1L << p
+    regs.reduce(_ unionByName _)
+      .select(
+        when(col("bucket") >= 0L && col("bucket") < m, col("bucket"))
+          .otherwise(raise_error(concat(
+            lit(s"register bucket out of range for p=$p: "),
+            col("bucket").cast("string"))))
+          .as("bucket"),
+        col("mj"))
+      .groupBy("bucket").agg(max(col("mj")).as("mj"))
   }
 
   /** One-shot estimate with a single precision threaded through both
@@ -71,6 +89,11 @@ object Cardinality {
     */
   def sketch(items: DataFrame, item: Column, p: Int = 8): DataFrame =
     estimate(registers(items, item, p), p)
+
+  /** [[sketch]] sized from config ([[graft.model.SketchSpec]]). */
+  def sketch(items: DataFrame, item: Column,
+      spec: graft.model.SketchSpec): DataFrame =
+    sketch(items, item, spec.hllP)
 
   /** One-row (n_occupied: long, e: double) estimate from [[registers]]
     * output. Raw harmonic-mean estimator with the standard linear-counting

@@ -64,26 +64,135 @@ object Dedup {
     */
   final case class IncrementalBatch(fresh: DataFrame, commit: () => Unit)
 
+  /** Live store commits: `seen-*` dirs without a `_retired` marker.
+    * Retired dirs stay physically intact until the retention sweep
+    * ([[cleanTmp]]) so a concurrent reader whose plan pinned their file
+    * paths (the streaming near-dup stage explicitly shares the store with
+    * batch runs, streaming/TranscriptStream.scala) never hits a deleted
+    * file mid-scan — new listings just stop seeing them.
+    */
   private def listSeen(fs: FileSystem, root: Path): Seq[Path] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("seen-")).sortBy(_.getName.toString)
+      .filter(p => p.getName.startsWith("seen-") &&
+        !fs.exists(new Path(p, RetiredMarker)))
+      .sortBy(_.getName.toString)
 
-  /** Sweep crash leftovers: `_tmp-*` dirs are never read as seen state and
-    * every commit gets a fresh uuid, so a long crash-prone campaign must
-    * not accrete them — the sink root's `_staging-*` sweep, applied here.
-    * Only dirs OLDER than an hour are deleted: commits in flight from
-    * another batch sharing the store (the one concurrency the design
-    * doesn't forbid) finish in seconds and must not lose their staging
-    * dir to a racing stage-time sweep.
+  /** Marker file a superseded commit dir carries instead of being deleted
+    * in place (leading `_` keeps parquet readers ignoring it). Deletion is
+    * retention-delayed to [[cleanTmp]]'s sweep.
+    */
+  private val RetiredMarker = "_retired"
+
+  /** Per-commit provenance manifest: the sorted distinct non-null `src`
+    * values of the dir's rows, one per line. [[retractSources]] skips any
+    * dir whose manifest is disjoint from the retracted set — retraction
+    * cost becomes O(affected dirs), not O(store). Dirs without a manifest
+    * (pre-manifest commits) are conservatively treated as affected. An
+    * EMPTY manifest is meaningful: the dir holds only null-src
+    * (irrevocable) rows, so no retraction can ever touch it.
+    */
+  private val SrcsManifest = "_srcs"
+
+  private def writeSrcs(fs: FileSystem, dir: Path, srcs: Seq[String]): Unit = {
+    val out = fs.create(new Path(dir, SrcsManifest), true)
+    try out.write(srcs.distinct.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSrcs(fs: FileSystem, dir: Path): Option[Set[String]] = {
+    val p = new Path(dir, SrcsManifest)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet)
+      finally in.close()
+    }
+  }
+
+  private def retire(fs: FileSystem, dir: Path): Unit = {
+    val out = fs.create(new Path(dir, RetiredMarker), true)
+    out.close()
+  }
+
+  /** Serialize store MUTATIONS (compaction, retraction) against each
+    * other: both rewrite-and-retire live dirs, and unserialized they can
+    * resurrect retracted hashes (a compaction that listed dirs before a
+    * concurrent retraction rewrote them merges the pre-retraction rows
+    * back in). A `_lock` file at the store root is the lease: atomic
+    * create-no-overwrite to acquire (atomic on HDFS; create-if-absent on
+    * the local fs — adequate for the single-host sharing this sandbox
+    * exercises), deleted to release. Stale locks (holder crashed) are
+    * broken after 10 minutes; a waiter that cannot acquire within 2
+    * minutes also breaks the lock — liveness over strictness, because
+    * every mutation is individually crash-safe (worst case under a broken
+    * lock is duplicate surviving rows, which the anti-join/band-join
+    * consumers tolerate; never a hole). Readers never take the lock:
+    * retention-delayed retirement already keeps their pinned files alive.
+    */
+  private def withStoreLock[T](fs: FileSystem, root: Path)(body: => T): T = {
+    fs.mkdirs(root)
+    val lock = new Path(root, "_lock")
+    val staleMs = 10L * 60 * 1000
+    val giveUpAt = System.currentTimeMillis() + 2L * 60 * 1000
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.create(lock, false).close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val mtime =
+            try Some(fs.getFileStatus(lock).getModificationTime)
+            catch { case _: java.io.IOException => None }
+          val now = System.currentTimeMillis()
+          if (mtime.forall(now - _ > staleMs) || now > giveUpAt)
+            fs.delete(lock, false) // stale or over-waited: break the lease
+          else Thread.sleep(200)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Sweep crash leftovers and expired retirements: `_tmp-*` dirs are
+    * never read as seen state and every commit gets a fresh uuid, so a
+    * long crash-prone campaign must not accrete them — the sink root's
+    * `_staging-*` sweep, applied here. Retired `seen-*` dirs physically
+    * delete here too. Only items OLDER than an hour go: commits in flight
+    * from another batch sharing the store finish in seconds, and a
+    * concurrent reader's pinned plan over a just-retired dir drains long
+    * before the retention window closes.
     */
   private def cleanTmp(fs: FileSystem, root: Path): Unit =
     if (fs.exists(root)) {
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-      fs.listStatus(root)
-        .filter(st => st.getPath.getName.startsWith("_tmp-") &&
-          st.getModificationTime < cutoff)
-        .foreach(st => fs.delete(st.getPath, true))
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_tmp-") && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+        else if (name.startsWith("seen-")) {
+          val marker = new Path(st.getPath, RetiredMarker)
+          val expired =
+            try fs.exists(marker) &&
+              fs.getFileStatus(marker).getModificationTime < cutoff
+            catch { case _: java.io.IOException => false }
+          if (expired) fs.delete(st.getPath, true)
+        }
+      }
+    }
+
+  /** Distinct non-null `src` values of a staged batch — the `_srcs`
+    * manifest content. A driver-side collect of file BASENAMES, bounded by
+    * the batch's source-file count, never data-sized. `srcCol = None` →
+    * empty manifest: every row is null-src, so retraction can skip the dir
+    * outright.
+    */
+  private def distinctSrcs(fresh: DataFrame, srcCol: Option[String]): Seq[String] =
+    srcCol.toSeq.flatMap { c =>
+      fresh.select(col(c).cast("string")).na.drop().distinct()
+        .collect().map(_.getString(0)).toSeq
     }
 
   /** Atomic store publish: write under `_tmp-<id>`, one rename to
@@ -112,11 +221,22 @@ object Dedup {
     * that (correctly) consumes `fresh` after `commit()`.
     */
   private def compactSeen(fs: FileSystem, root: Path, maxDirs: Int)(
-      merge: (Seq[Path], Path) => Unit): Unit = {
+      merge: (Seq[Path], Path) => Unit): Unit = withStoreLock(fs, root) {
     val dirs = listSeen(fs, root)
-    if (dirs.size <= maxDirs) return
-    commitSeen(fs, root)(tmp => merge(dirs, tmp))
-    dirs.foreach(p => fs.delete(p, true))
+    if (dirs.size > maxDirs) {
+      // merged manifest = union of the sources' manifests, but only when
+      // every source HAS one — a single pre-manifest dir poisons the union
+      // (its rows' srcs are unknown), so the merged dir stays conservative
+      val manifests = dirs.map(readSrcs(fs, _))
+      val union =
+        if (manifests.forall(_.isDefined)) Some(manifests.flatMap(_.get))
+        else None
+      commitSeen(fs, root) { tmp =>
+        merge(dirs, tmp)
+        union.foreach(u => writeSrcs(fs, tmp, u.toSeq))
+      }
+      dirs.foreach(retire(fs, _))
+    }
   }
 
   /** INCREMENTAL exact dedup against a persisted hash store — the growing-
@@ -182,9 +302,11 @@ object Dedup {
     val srcExpr = srcCol.map(col).getOrElse(lit(null)).cast("string").as("src")
     val commit = () => try {
       if (!fresh.isEmpty)
-        commitSeen(fs, root)(tmp =>
+        commitSeen(fs, root) { tmp =>
           fresh.select(col("content_h60"), srcExpr)
-            .write.mode("overwrite").parquet(tmp.toString))
+            .write.mode("overwrite").parquet(tmp.toString)
+          writeSrcs(fs, tmp, distinctSrcs(fresh, srcCol))
+        }
     } finally fresh.unpersist(false)
     IncrementalBatch(fresh.drop("content_h60"), commit)
   }
@@ -309,6 +431,7 @@ object Dedup {
             .write.mode("overwrite").parquet(new Path(tmp, "sets").toString)
           fresh.select(col("__h60").as("content_h60"), srcExpr)
             .write.mode("overwrite").parquet(new Path(tmp, "exact").toString)
+          writeSrcs(fs, tmp, distinctSrcs(fresh, srcCol))
         }
       }
     } finally {
@@ -318,14 +441,24 @@ object Dedup {
   }
 
   /** RETRACT a set of sources from an incremental store (exact or minhash
-    * layout, auto-detected): every store row whose `src` provenance is in
-    * `sources` is dropped, and the remainder is rewritten as ONE fresh
-    * atomically-renamed commit before the old dirs are deleted — the
-    * content-store analogue of freader deleting a removed file's offset row
+    * layout, auto-detected per dir): every store row whose `src`
+    * provenance is in `sources` is dropped — the content-store analogue of
+    * freader deleting a removed file's offset row
     * (internal/collector/collector.go:206-214). Rows with null `src`
     * (pre-provenance commits, or batches staged without `srcCol`) are
-    * irrevocable and always survive. A crash between the merged commit and
-    * the old-dir deletes leaves duplicate surviving rows — harmless to the
+    * irrevocable and always survive.
+    *
+    * Cost is O(affected commit dirs), not O(store): each commit carries a
+    * `_srcs` provenance manifest, and a dir whose manifest is disjoint
+    * from the retracted set is left byte-for-byte untouched (pre-manifest
+    * dirs are conservatively rewritten). Each affected dir is rewritten as
+    * its own atomically-renamed fresh commit and the old dir is RETIRED
+    * (marker file, retention-delayed delete — see [[listSeen]]) rather
+    * than deleted, so a concurrent reader whose plan pinned the old files
+    * keeps reading them; the whole pass holds the store mutation lease
+    * ([[withStoreLock]]) so a concurrent compaction cannot merge
+    * pre-retraction rows back in. A crash between a rewrite commit and its
+    * retire leaves duplicate surviving rows — harmless to the
     * anti-join/band-join consumers, never a hole.
     *
     * Hashes a retracted file shared with a LIVE file keep the live file's
@@ -339,27 +472,35 @@ object Dedup {
     if (sources.isEmpty) return
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = listSeen(fs, root)
-    if (dirs.isEmpty) return
+    val srcSet = sources.toSet
     def keep(dfm: DataFrame): DataFrame =
       if (!dfm.columns.contains("src")) dfm
       else dfm.filter(col("src").isNull || !col("src").isin(sources: _*))
-    val isMinhash = dirs.exists(d => fs.exists(new Path(d, "bands")))
-    commitSeen(fs, root) { tmp =>
-      if (isMinhash)
-        Seq("bands", "sets", "exact").foreach { part =>
-          val srcs = dirs.filter(d => fs.exists(new Path(d, part)))
-            .map(d => s"$d/$part")
-          if (srcs.nonEmpty)
-            keep(spark.read.option("mergeSchema", "true").parquet(srcs: _*))
-              .write.mode("overwrite").parquet(new Path(tmp, part).toString)
+    withStoreLock(fs, root) {
+      val affected = listSeen(fs, root).filter { d =>
+        readSrcs(fs, d) match {
+          case Some(srcs) => srcs.exists(srcSet) // manifest: exact answer
+          case None => true // pre-manifest commit: conservative rewrite
         }
-      else
-        keep(spark.read.option("mergeSchema", "true")
-          .parquet(dirs.map(_.toString): _*))
-          .write.mode("overwrite").parquet(tmp.toString)
+      }
+      affected.foreach { d =>
+        val survivorSrcs = readSrcs(fs, d).map(s => (s -- srcSet).toSeq)
+        val isMinhash = fs.exists(new Path(d, "bands"))
+        commitSeen(fs, root) { tmp =>
+          if (isMinhash)
+            Seq("bands", "sets", "exact").foreach { part =>
+              if (fs.exists(new Path(d, part)))
+                keep(spark.read.parquet(s"$d/$part"))
+                  .write.mode("overwrite").parquet(new Path(tmp, part).toString)
+            }
+          else
+            keep(spark.read.parquet(d.toString))
+              .write.mode("overwrite").parquet(tmp.toString)
+          survivorSrcs.foreach(writeSrcs(fs, tmp, _))
+        }
+        retire(fs, d)
+      }
     }
-    dirs.foreach(p => fs.delete(p, true))
   }
 
   /** Distinct shingles per doc (n-gram sets for Jaccard) — STRING form,

@@ -45,7 +45,31 @@ object HttpSink {
       pass: String = "",
       batchSize: Int = 200,
       batchIntervalMs: Long = 2000L,
-      timeoutMs: Int = 15000)
+      timeoutMs: Int = 15000,
+      /** Bounded re-POSTs of a batch whose WHOLE delivery failed
+        * transiently (transport error, 5xx, 429) before it counts as
+        * failed. 0 = the reference's log-and-drop (opensearch.go:62-66).
+        * Batches that got a 2xx response are NEVER retried — per-item bulk
+        * failures inside one are authoritative, and a re-POST would
+        * re-deliver the items that succeeded. A 4xx (malformed request,
+        * auth) is permanent and fails immediately.
+        */
+      maxRetries: Int = 0,
+      /** Linear backoff step between retry attempts (attempt k sleeps
+        * k × this).
+        */
+      retryBackoffMs: Long = 250L)
+
+  /** `[db.]table` split into backtick-quoted identifier parts — defense in
+    * depth for the ClickHouse INSERT (the target is also pattern-validated
+    * at config time, model/Model.scala validate): a hostile or malformed
+    * config value must not become arbitrary SQL on the endpoint. Backticks
+    * inside a part are doubled per ClickHouse identifier quoting.
+    */
+  private[sinks] def quotedTarget(target: String): String =
+    target.split('.')
+      .map(p => "`" + p.replace("`", "``") + "`")
+      .mkString(".")
 
   private def jsonEsc(s: String): String = {
     val sb = new StringBuilder
@@ -61,25 +85,11 @@ object HttpSink {
     sb.toString
   }
 
-  /** POST one batch of rendered JSON docs; returns one ok-flag per doc, in
-    * order. Never throws — transport errors mark the batch failed.
+  /** One HTTP POST attempt; returns (status code, response body), with
+    * code -1 for a transport failure. Never throws.
     */
-  def postBatch(spec: WireSpec, docs: IndexedSeq[String]): IndexedSeq[Boolean] = {
-    if (docs.isEmpty) return IndexedSeq.empty
-    val base = spec.url.stripSuffix("/")
-    val (urlStr, body, contentType) = spec.kind match {
-      case "clickhouse" =>
-        val q = java.net.URLEncoder.encode(
-          s"INSERT INTO ${spec.target} FORMAT JSONEachRow", "UTF-8")
-        (s"$base/?query=$q", docs.mkString("", "\n", "\n"), "text/plain")
-      case _ => // opensearch _bulk: action metadata line + source line
-        val sb = new StringBuilder
-        docs.foreach { d =>
-          sb.append(s"""{"index":{"_index":"${jsonEsc(spec.target)}"}}""")
-            .append('\n').append(d).append('\n')
-        }
-        (s"$base/_bulk", sb.toString, "application/x-ndjson")
-    }
+  private def postOnce(spec: WireSpec, urlStr: String, body: String,
+      contentType: String): (Int, String) =
     try {
       val conn = URI.create(urlStr).toURL.openConnection()
         .asInstanceOf[HttpURLConnection]
@@ -102,14 +112,52 @@ object HttpSink {
         else try new String(respStream.readAllBytes(), StandardCharsets.UTF_8)
         finally respStream.close()
       conn.disconnect()
-      if (code < 200 || code >= 300) docs.map(_ => false)
-      else spec.kind match {
-        case "clickhouse" => docs.map(_ => true) // all-or-nothing per POST
-        case _ => parseBulkResponse(resp, docs.size)
-      }
+      (code, resp)
     } catch {
-      case scala.util.control.NonFatal(_) => docs.map(_ => false)
+      case scala.util.control.NonFatal(_) => (-1, "")
     }
+
+  /** POST one batch of rendered JSON docs; returns one ok-flag per doc, in
+    * order. Never throws — a batch whose delivery keeps failing marks
+    * every doc failed. Transient whole-batch failures (transport, 5xx,
+    * 429) re-POST up to `spec.maxRetries` times with linear backoff; a
+    * delivered batch (2xx) is final whatever its per-item outcomes, and a
+    * permanent rejection (other 4xx) fails without retry — retrying either
+    * would re-deliver rows the remote already accepted or burn attempts on
+    * a request that cannot succeed.
+    */
+  def postBatch(spec: WireSpec, docs: IndexedSeq[String]): IndexedSeq[Boolean] = {
+    if (docs.isEmpty) return IndexedSeq.empty
+    val base = spec.url.stripSuffix("/")
+    val (urlStr, body, contentType) = spec.kind match {
+      case "clickhouse" =>
+        val q = java.net.URLEncoder.encode(
+          s"INSERT INTO ${quotedTarget(spec.target)} FORMAT JSONEachRow", "UTF-8")
+        (s"$base/?query=$q", docs.mkString("", "\n", "\n"), "text/plain")
+      case _ => // opensearch _bulk: action metadata line + source line
+        val sb = new StringBuilder
+        docs.foreach { d =>
+          sb.append(s"""{"index":{"_index":"${jsonEsc(spec.target)}"}}""")
+            .append('\n').append(d).append('\n')
+        }
+        (s"$base/_bulk", sb.toString, "application/x-ndjson")
+    }
+    var attempt = 0
+    while (true) {
+      val (code, resp) = postOnce(spec, urlStr, body, contentType)
+      if (code >= 200 && code < 300)
+        return spec.kind match {
+          case "clickhouse" => docs.map(_ => true) // all-or-nothing per POST
+          case _ => parseBulkResponse(resp, docs.size)
+        }
+      val transient = code == -1 || code >= 500 || code == 429
+      if (!transient || attempt >= spec.maxRetries)
+        return docs.map(_ => false)
+      attempt += 1
+      try Thread.sleep(spec.retryBackoffMs * attempt)
+      catch { case _: InterruptedException => return docs.map(_ => false) }
+    }
+    docs.map(_ => false) // unreachable
   }
 
   /** Per-item outcomes from an OpenSearch bulk response

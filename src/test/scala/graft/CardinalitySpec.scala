@@ -24,7 +24,18 @@ class CardinalitySpec extends AnyFunSuite {
 
   test("precision ranges of the two halves agree; mismatched p is rejected up front") {
     intercept[IllegalArgumentException](Cardinality.registers(items(0, 10), col("s"), 6))
-    intercept[IllegalArgumentException](Cardinality.merge())
+    intercept[IllegalArgumentException](Cardinality.merge(8))
+    intercept[IllegalArgumentException](
+      Cardinality.merge(6, Cardinality.registers(items(0, 10), col("s"))))
+  }
+
+  test("merging a higher-precision register table fails the job, not the math") {
+    // p=10 buckets reach 1023; a p=8 merge (max bucket 255) must error at
+    // execution instead of silently mis-scaling the union sketch
+    val atP10 = Cardinality.registers(items(0, 2000), col("s"), p = 10)
+    val ex = intercept[Exception](Cardinality.merge(8, atP10).count())
+    assert(ex.getMessage.contains("register bucket out of range"),
+      s"unexpected error: ${ex.getMessage}")
   }
 
   test("raw branch: 10k distinct estimated within 3 sigma (19.5% at m=256)") {
@@ -49,7 +60,7 @@ class CardinalitySpec extends AnyFunSuite {
   test("merge of shard sketches equals the sketch of the union, register-for-register") {
     val a = Cardinality.registers(items(0, 3000), col("s"))
     val b = Cardinality.registers(items(2000, 6000), col("s")) // overlapping shards
-    val merged = Cardinality.merge(a, b)
+    val merged = Cardinality.merge(8, a, b)
     val whole = Cardinality.registers(items(0, 6000), col("s"))
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
   }

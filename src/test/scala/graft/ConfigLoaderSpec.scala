@@ -103,6 +103,63 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.include == Seq("*.log")) // file survives where not overridden
   }
 
+  test("sketch section: parsed, defaulted, and saturation-validated") {
+    val cfg = loadText(
+      """[collector.sketch]
+        |cms-depth = 6
+        |cms-width = 4096
+        |hll-p = 10
+        |expected-distinct = 200000
+        |""".stripMargin).toOption.get
+    assert(cfg.sketch.contains(graft.model.SketchSpec(6, 4096, 10, Some(200000L))))
+
+    // partial section fills defaults; absent section stays None
+    val part = loadText("[collector.sketch]\nhll-p = 12\n").toOption.get
+    assert(part.sketch.contains(graft.model.SketchSpec(4, 1024, 12, None)))
+    assert(loadText("[collector]\nseparator = \"\\n\"\n").toOption.get.sketch.isEmpty)
+
+    // the sizing rule: a 1024-wide CMS cannot answer a 10^9-distinct
+    // vocabulary (the 100 TB saturation trap, rejected at config time)
+    val sat = loadText(
+      """[collector.sketch]
+        |expected-distinct = 1000000000
+        |""".stripMargin)
+    assert(sat.swap.toOption.get.contains("saturates"))
+    // range checks delegate to SketchSpec.validate
+    assert(loadText("[collector.sketch]\nhll-p = 5\n")
+      .swap.toOption.get.contains("hll-p"))
+    assert(loadText("[collector.sketch]\ncms-depth = 0\n")
+      .swap.toOption.get.contains("cms-depth"))
+    // expected-distinct is 64-bit (corpus scale exceeds 2^31)
+    val big = loadText(
+      """[collector.sketch]
+        |cms-width = 268435456
+        |expected-distinct = 8589934592
+        |""".stripMargin).toOption.get
+    assert(big.sketch.get.expectedDistinct.contains(8589934592L))
+  }
+
+  test("sink.retries: parsed into batchRetries, negatives rejected") {
+    val cfg = loadText("[sink]\nretries = 2\n").toOption.get
+    assert(cfg.batchRetries == 2)
+    assert(loadText("").toOption.get.batchRetries == 0) // reference parity
+    assert(loadText("[sink]\nretries = -1\n")
+      .swap.toOption.get.contains("sink.retries"))
+  }
+
+  test("clickhouse wire target must be a [db.]table identifier (SQL-injection guard)") {
+    def ch(target: String) = loadText(
+      s"""[sink.ch]
+         |type = "clickhouse"
+         |url = "http://127.0.0.1:8123"
+         |table = "$target"
+         |""".stripMargin)
+    assert(ch("logs.freader_logs").isRight)
+    assert(ch("freader_logs").isRight)
+    val bad = ch("logs FORMAT TSV; DROP TABLE x")
+    assert(bad.swap.toOption.get.contains("identifier"))
+  }
+
   test("validation matrix (config.go:190-237 + multline_reader.go:37-48)") {
     val cases: Seq[(String, String)] = Seq(
       ("""[sink.x]

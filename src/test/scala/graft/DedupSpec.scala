@@ -148,6 +148,126 @@ class DedupSpec extends AnyFunSuite {
     assert(b3.fresh.select("text").as[String].collect().toSet == Set(longA))
   }
 
+  private def hadoopFs(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def seenDirs(dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val fs = hadoopFs(dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("seen-"))
+      .sortBy(_.getName)
+  }
+
+  /** Recursive (relative-path, length, mtime) listing — byte-identity
+    * evidence for untouched store partitions.
+    */
+  private def fileStamps(dir: org.apache.hadoop.fs.Path): Set[(String, Long, Long)] = {
+    val fs = hadoopFs(dir.toString)
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.Set.empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      buf += ((st.getPath.toString.stripPrefix(dir.toString),
+        st.getLen, st.getModificationTime))
+    }
+    buf.toSet
+  }
+
+  test("retraction is partition-scoped: manifest-disjoint store dirs stay byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retract-part").toString
+    def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (s"$src#$i", t, src) }.toDF("id", "text", "src")
+    val b1 = Dedup.incrementalExactStaged(batch("f1", Seq("T1 alpha")),
+      "id", "text", dir, srcCol = Some("src"))
+    b1.commit()
+    val Seq(d1) = seenDirs(dir)
+    val b2 = Dedup.incrementalExactStaged(batch("f2", Seq("T2 beta")),
+      "id", "text", dir, srcCol = Some("src"))
+    b2.commit()
+    val Seq(dA, dB) = seenDirs(dir)
+    val d2 = if (dA == d1) dB else dA
+    val d2Before = fileStamps(d2)
+
+    Dedup.retractSources(spark, dir, Seq("f1"))
+    val fs = hadoopFs(dir)
+    // f2's commit dir was never opened for write: identical listing, no
+    // retirement marker
+    assert(fileStamps(d2) == d2Before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d2, "_retired")))
+    // f1's dir is RETIRED, not deleted: marker present, parquet intact
+    assert(fs.exists(new org.apache.hadoop.fs.Path(d1, "_retired")))
+    assert(spark.read.parquet(d1.toString).count() == 1L)
+    // semantics: T1 reopened, T2 still suppressed
+    val b3 = Dedup.incrementalExactStaged(
+      batch("f3", Seq("T1 alpha", "T2 beta")), "id", "text", dir,
+      srcCol = Some("src"))
+    assert(b3.fresh.select("text").as[String].collect().toSet == Set("T1 alpha"))
+  }
+
+  test("a staged batch's pinned plan survives a concurrent retraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retract-race").toString
+    val longA = "alpha " + (0 until 15).map(i => s"w$i").mkString(" ")
+    val longB = "bravo " + (0 until 15).map(i => s"v$i").mkString(" ")
+    def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (s"$src#$i", t, src) }.toDF("id", "text", "src")
+    val b1 = Dedup.incrementalMinhashStaged(batch("f1", Seq(longA)),
+      "id", "text", dir, bands = 8, rowsPerBand = 2, threshold = 0.6,
+      srcCol = Some("src"))
+    b1.commit()
+    // stage a batch whose plan pins f1's store dirs (the streaming
+    // near-dup stage shares the store with batch retraction exactly here)
+    val staged = Dedup.incrementalMinhashStaged(
+      batch("f2", Seq(longA + " tail tail", longB)),
+      "id", "text", dir, bands = 8, rowsPerBand = 2, threshold = 0.6,
+      srcCol = Some("src"))
+    // retraction rewrites and retires those dirs mid-stage...
+    Dedup.retractSources(spark, dir, Seq("f1"))
+    // ...and the staged plan still evaluates against its pinned snapshot:
+    // the near-dup of longA is suppressed (pre-retraction view), no
+    // FileNotFound from deleted paths
+    assert(staged.fresh.select("text").as[String].collect().toSet == Set(longB))
+    staged.commit()
+  }
+
+  test("retired store dirs are swept once the retention window passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retract-sweep").toString
+    def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (s"$src#$i", t, src) }.toDF("id", "text", "src")
+    val b1 = Dedup.incrementalExactStaged(batch("f1", Seq("T1 alpha")),
+      "id", "text", dir, srcCol = Some("src"))
+    b1.commit()
+    val Seq(d1) = seenDirs(dir)
+    Dedup.retractSources(spark, dir, Seq("f1"))
+    val fs = hadoopFs(dir)
+    val marker = new org.apache.hadoop.fs.Path(d1, "_retired")
+    assert(fs.exists(marker))
+    // age the marker past the 1h retention, then any stage-time sweep
+    // physically deletes the dir
+    fs.setTimes(marker, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    val b2 = Dedup.incrementalExactStaged(batch("f2", Seq("T2 beta")),
+      "id", "text", dir, srcCol = Some("src"))
+    b2.commit()
+    assert(!fs.exists(d1), s"retired dir $d1 should be swept")
+  }
+
+  test("a stale mutation lock is broken instead of blocking retraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-retract-lock").toString
+    def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (s"$src#$i", t, src) }.toDF("id", "text", "src")
+    val b1 = Dedup.incrementalExactStaged(batch("f1", Seq("T1 alpha")),
+      "id", "text", dir, srcCol = Some("src"))
+    b1.commit()
+    val fs = hadoopFs(dir)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_lock")
+    fs.create(lock, false).close() // a crashed mutator's leftover lease
+    fs.setTimes(lock, System.currentTimeMillis() - 11L * 60 * 1000, -1)
+    Dedup.retractSources(spark, dir, Seq("f1")) // must not hang
+    assert(!fs.exists(lock), "lock should be released after the mutation")
+    val b2 = Dedup.incrementalExactStaged(batch("f2", Seq("T1 alpha")),
+      "id", "text", dir, srcCol = Some("src"))
+    assert(b2.fresh.count() == 1L) // T1 reopened by the retraction
+  }
+
   test("hashed shingle sets equal sha60-of-string shingles in size (no in-doc collisions here)") {
     val strs = Dedup.shingleSets(docs, "doc_id", "text", 3)
       .select($"id", size($"sh").as("n")).as[(Long, Int)].collect().toMap
@@ -232,9 +352,15 @@ class DedupSpec extends AnyFunSuite {
     val store = java.nio.file.Files.createTempDirectory("graft-incmh-compact").toString
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LIVE dirs (reader-side view): compaction retires superseded dirs in
+    // place (retention-delayed delete), so the raw listing legitimately
+    // holds tombstones for up to an hour — boundedness is about what a
+    // reader unions, which skips `_retired` dirs
     def seenDirs(): Seq[String] =
       fs.listStatus(new org.apache.hadoop.fs.Path(store)).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("seen-"))
+        .map(_.getPath).filter(p => p.getName.startsWith("seen-") &&
+          !fs.exists(new org.apache.hadoop.fs.Path(p, "_retired")))
+        .map(_.getName)
     for (k <- 0 until 8) {
       val b = Seq((k.toLong, (0 until 10).map(j => s"c${k}_$j").mkString(" ")))
         .toDF("doc_id", "text")

@@ -142,11 +142,91 @@ class HttpSinkSpec extends AnyFunSuite {
       val ok = HttpSink.deliver(docs, spec).collect().head
       assert(ok.getLong(1) == 7 && ok.getLong(2) == 0)
       assert(inserted.get() == 7)
-      assert(sawQuery.get.contains("INSERT INTO logs.freader_logs FORMAT JSONEachRow"))
+      // the [db.]table identifier is backtick-quoted (SQL-injection guard)
+      assert(sawQuery.get.contains(
+        "INSERT INTO `logs`.`freader_logs` FORMAT JSONEachRow"))
       failMode = true
       val bad = HttpSink.deliver(docs, spec).collect().head
       assert(bad.getLong(1) == 0 && bad.getLong(2) == 7)
     } finally server.stop(0)
+  }
+
+  /** A flaky `_bulk` endpoint: answers `failFirst` requests with the given
+    * status, then accepts everything with per-item 201s.
+    */
+  private def withFlakyServer(failFirst: Int, failCode: Int)(
+      f: (String, AtomicLong) => Unit): Unit = {
+    val posts = new AtomicLong
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val n = posts.incrementAndGet()
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        if (n <= failFirst) {
+          val resp = "transient".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(failCode, resp.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(resp) finally os.close()
+        } else {
+          val docs = body.split("\n").filter(_.nonEmpty).grouped(2).map(_.last).toSeq
+          val items = docs.map(_ => """{"index":{"status":201}}""")
+          val resp = s"""{"took":1,"errors":false,"items":[${items.mkString(",")}]}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, resp.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(resp) finally os.close()
+        }
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", posts)
+    finally server.stop(0)
+  }
+
+  test("bounded retry: a batch failed by one transient 503 delivers on the second attempt") {
+    withFlakyServer(failFirst = 1, failCode = 503) { (url, posts) =>
+      val oks = HttpSink.postBatch(
+        WireSpec("opensearch", url, "idx", maxRetries = 1, retryBackoffMs = 10),
+        IndexedSeq("""{"m":1}""", """{"m":2}"""))
+      assert(oks == IndexedSeq(true, true))
+      assert(posts.get() == 2)
+    }
+    // retries disabled (the reference's log-and-drop): one attempt, failed
+    withFlakyServer(failFirst = 1, failCode = 503) { (url, posts) =>
+      val oks = HttpSink.postBatch(WireSpec("opensearch", url, "idx"),
+        IndexedSeq("""{"m":1}"""))
+      assert(oks == IndexedSeq(false))
+      assert(posts.get() == 1)
+    }
+    // retry budget exhausted before the endpoint recovers: counted failed,
+    // exactly maxRetries+1 attempts, nothing thrown
+    withFlakyServer(failFirst = 5, failCode = 503) { (url, posts) =>
+      val oks = HttpSink.postBatch(
+        WireSpec("opensearch", url, "idx", maxRetries = 2, retryBackoffMs = 10),
+        IndexedSeq("""{"m":1}"""))
+      assert(oks == IndexedSeq(false))
+      assert(posts.get() == 3)
+    }
+  }
+
+  test("retry is never attempted for a delivered batch or a permanent 4xx") {
+    // 2xx with per-item rejections: the response is authoritative — a
+    // re-POST would re-deliver the accepted items
+    withBulkServer { (url, _, _, posts) =>
+      val oks = HttpSink.postBatch(
+        WireSpec("opensearch", url, "idx", maxRetries = 3, retryBackoffMs = 10),
+        IndexedSeq("""{"m":"REJECT"}""", """{"m":"ok"}"""))
+      assert(oks == IndexedSeq(false, true))
+      assert(posts.get() == 1)
+    }
+    // a 400 cannot succeed on retry: one attempt only
+    withFlakyServer(failFirst = 99, failCode = 400) { (url, posts) =>
+      val oks = HttpSink.postBatch(
+        WireSpec("opensearch", url, "idx", maxRetries = 3, retryBackoffMs = 10),
+        IndexedSeq("""{"m":1}"""))
+      assert(oks == IndexedSeq(false))
+      assert(posts.get() == 1)
+    }
   }
 
   test("basic auth header is sent when user is set") {

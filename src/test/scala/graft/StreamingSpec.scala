@@ -286,6 +286,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a retraction between micro-batches reopens retracted content for the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-nd-retract").toString
+    val longA = "alpha " + (0 until 15).map(i => s"w$i").mkString(" ")
+    // a provenanced BATCH run seeds the shared store with longA from f1 —
+    // the mixed batch+streaming campaign the store format is for
+    val seed = Seq(("f1#0", longA, "f1")).toDF("id", "text", "src")
+    val seeded = graft.operators.Dedup.incrementalMinhashStaged(seed,
+      "id", "text", store, bands = 8, rowsPerBand = 2, threshold = 0.6,
+      srcCol = Some("src"))
+    assert(seeded.fresh.count() == 1)
+    seeded.commit()
+
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val in = MemoryStream[Turn]
+    val q = TranscriptStream.dedupStreamNearDup(in.toDS(), store,
+      bands = 8, rowsPerBand = 2, threshold = 0.6) { (df, _) =>
+      delivered.synchronized {
+        delivered ++= df.select("text").collect().map(_.getString(0))
+      }
+    }
+    try {
+      // batch 1: the seeded content and a near-dup of it — both suppressed
+      in.addData(turn("c1", 0, longA), turn("c2", 0, longA + " tail tail"))
+      q.processAllAvailable()
+      assert(delivered.isEmpty)
+
+      // f1 is invalidated between micro-batches: the batch pipeline
+      // retracts its provenance — no sink holds longA any more
+      graft.operators.Dedup.retractSources(spark, store, Seq("f1"))
+
+      // batch 2: the same content is deliverable again, exactly once
+      in.addData(turn("c3", 0, longA), turn("c4", 0, longA + " tail tail"))
+      q.processAllAvailable()
+      assert(delivered.toSeq == Seq(longA))
+
+      // batch 3: and the stream's own commit now suppresses replays
+      in.addData(turn("c5", 0, longA))
+      q.processAllAvailable()
+      assert(delivered.toSeq == Seq(longA))
+    } finally q.stop()
+  }
+
   test("windowed tool usage with watermark over a streaming source") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Turn]

@@ -80,9 +80,14 @@ class TextOpsSpec extends AnyFunSuite {
     val store = java.nio.file.Files.createTempDirectory("graft-incdedup-compact").toString
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LIVE dirs only: compaction retires superseded dirs in place
+    // (retention-delayed delete), and readers skip `_retired` dirs —
+    // boundedness is about the reader-side union
     def seenDirs(): Seq[String] =
       fs.listStatus(new org.apache.hadoop.fs.Path(store)).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("seen-"))
+        .map(_.getPath).filter(p => p.getName.startsWith("seen-") &&
+          !fs.exists(new org.apache.hadoop.fs.Path(p, "_retired")))
+        .map(_.getName)
     for (k <- 0 until 8) {
       val b = Seq((k.toLong, s"content $k")).toDF("doc_id", "text")
       assert(Dedup.incrementalExact(b, "doc_id", "text", store, maxSeenDirs = 3)
