@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{Cardinality, Dedup, Enrich, Frequency, Multimodal, Parse, Route, Segments, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Cardinality, Dedup, Enrich, Frequency, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -699,6 +699,30 @@ object Queries {
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
     }),
 
+    // as-of attribution join: every purchase picks the LATEST click by the
+    // same user at-or-before its timestamp (the pandas merge_asof / DuckDB
+    // ASOF JOIN primitive Spark lacks natively) — union + one shuffle on
+    // user_id + a running last() over the per-user timeline, NO range-join
+    // explosion. The click side is pre-collapsed to one row per (user, ts)
+    // (max event_id) so tie semantics are deterministic by construction in
+    // both engines; the oracle derives the same answer through DuckDB's
+    // native ASOF LEFT JOIN — an independent engine path, not a re-rendered
+    // window. Unmatched purchases keep NULL click_id/gap_us (left join).
+    "q_asof_attribution" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "ts", matchedName = "m")
+        .select(col("event_id"), col("user_id"),
+          col("m").getField("click_id").as("click_id"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("m").getField("ts").cast("timestamp")))
+            .as("gap_us"))
+    }),
+
     // tokenizer vocabulary COVERAGE: per-doc fraction of tokens inside the
     // corpus top-K vocabulary (K=500) — the OOV-rate analysis that sizes a
     // tokenizer's vocab. The vocab plans as TakeOrderedAndProject (no
@@ -761,6 +785,23 @@ object Queries {
       val top = tok.groupBy("word").agg(count(lit(1)).as("cnt_exact"))
         .orderBy(col("cnt_exact").desc, col("word")).limit(10)
       Frequency.estimate(sk, top, Hashing.sha60(col("word")))
+    }),
+
+    // deterministic hash-sampled quantile sketch: median/p90/p99 of the
+    // whitespace token-count distribution as type-1 order statistics over
+    // a reproducible 25% Bernoulli sample keyed on sha60("qs:" || doc_id)
+    // — the distribution face of the sizing family (q_freq_sketch = how
+    // often, q_cardinality_sketch = how many distinct, this = how spread):
+    // curation thresholds (length caps, tail cuts) are read off this
+    // without sorting the corpus. Sample membership is a codegen'd scan
+    // predicate (no shuffle); only the bounded sample is ranked, and
+    // integer order statistics keep the oracle surface float-free. The
+    // oracle re-derives the identical sample, ranks and rank targets.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val d = TextAnalysis.tokenCounts(documents(s, dir))
+        .select(col("doc_id"), col("ws_tokens"))
+      Quantile.orderStatQuantiles(d, col("doc_id"), col("ws_tokens"),
+        Seq(500, 900, 990), rate = 0.25)
     }),
 
     // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
@@ -901,6 +942,12 @@ object Queries {
 
   /** DuckDB rendering of [[Hashing.sha60]] (60-bit sha256-prefix hash). */
   private def sha60Sql(e: String): String = Hashing.sha60Sql(e)
+
+  /** q_quantile_sketch sample threshold — computed ONCE driver-side and
+    * embedded as the same integer literal on both engine and oracle sides
+    * (declared before [[oracleSql]]: object init order).
+    */
+  private val qsThreshold: Long = graft.operators.Quantile.threshold(0.25)
 
   /** DuckDB twin of [[graft.operators.Similarity.planeMatrix]] +
     * band sketches: given a relation `src(vec_id, v double[])`, emits CTEs
@@ -1566,6 +1613,23 @@ object Queries {
         |        FROM qp LEFT JOIN sk USING (r, c) GROUP BY 1, 2)
         |SELECT word, cnt_exact, cnt_est FROM est""".stripMargin,
 
+    // quantile sketch: the identical 25% hash sample (same salted sha60
+    // ring, same embedded integer threshold), the identical ws_tokens
+    // value (q_token_count's expression), ranks via row_number over the
+    // sample, rank targets via pure-integer ceil division
+    "q_quantile_sketch" ->
+      s"""WITH s AS (
+        |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v
+        |  FROM documents
+        |  WHERE (${sha60Sql("'qs:' || CAST(doc_id AS VARCHAR)")}) < $qsThreshold
+        |), r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM s),
+        |t AS (SELECT q_permille, n_sample, (q_permille * n_sample + 999) // 1000 AS rk
+        |      FROM (VALUES (500), (900), (990)) qs(q_permille) CROSS JOIN n)
+        |SELECT t.q_permille AS q_permille, t.n_sample AS n_sample, r.v AS v
+        |FROM t JOIN r ON r.rn = t.rk""".stripMargin,
+
     // cardinality sketch: the same hashed-shingle universe the minhash
     // oracles derive (hashedShinglesSql — per-token sha60 % P + rolling
     // 8191 fold, within-doc distinct), rendered to decimal strings, then
@@ -1835,7 +1899,22 @@ object Queries {
         |      CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
         |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000
         |      THEN 1 ELSE 0 END AS is_new
-        |    FROM events) a) b GROUP BY 1, 2""".stripMargin
+        |    FROM events) a) b GROUP BY 1, 2""".stripMargin,
+
+    // as-of attribution through DuckDB's NATIVE ASOF LEFT JOIN — a genuinely
+    // independent derivation of the union+window engine path; the click side
+    // is collapsed to one row per (user_id, ts) in both engines so the match
+    // is unique by construction
+    "q_asof_attribution" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |     p AS (SELECT event_id, user_id, ts
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |       c.click_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
   )
 
   // the bloom pre-filter variant is exact-equivalent by construction, so

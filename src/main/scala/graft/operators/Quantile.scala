@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic hash-sampled quantile sketch: order statistics over a
+  * reproducible Bernoulli sample — the "pick the p99 length threshold
+  * WITHOUT sorting 100 TB" primitive of a curation campaign (length /
+  * score / token-count cutoffs are all chosen from distribution tails).
+  *
+  * Sampling is a pure function of the row KEY: a row is in the sample iff
+  * `sha60("qs:" || key) < rate·2^60` ([[Hashing.sha60]], the cross-engine
+  * kernel — the DuckDB oracle replays the sample membership exactly, which
+  * no RNG-based `df.sample` can offer; the "qs:" salt decorrelates this
+  * hash ring from the hash-split / stratified-sampling rings over the same
+  * keys). Quantiles are TYPE-1 order statistics of the sample — the
+  * ceil(q·n)-th smallest value — so integer values stay integers end to
+  * end: no interpolation, no floating point, exact value-hash parity.
+  *
+  * Determinism buys composability: hash sampling is CONSISTENT, so the
+  * sample of a union is the union of per-shard samples — per-day / per-
+  * shard samples concatenate into the corpus sample with no re-read, the
+  * same rollup shape as the [[Frequency]]/[[Cardinality]] merges.
+  *
+  * The 100 TB shape: the sample predicate is one codegen'd hash-compare in
+  * the scan stage (no shuffle, no state); the sample then collapses to a
+  * per-value histogram (map-side combine — the one shuffle carries counts,
+  * not rows), and rank lookup walks the value-ordered cumulative histogram,
+  * so nothing ever sorts the sample itself (r = 10^-5 of 10^12 rows → 10^7
+  * sampled values → |distinct v| histogram rows). Accuracy: by Dvoretzky–Kiefer–
+  * Wolfowitz the sampled CDF is within ε of the true CDF everywhere with
+  * probability 1−δ for m ≥ ln(2/δ)/(2ε²) — m = 10^7 gives ε ≈ 0.0005, far
+  * tighter than any curation threshold needs.
+  *
+  * No reference analogue (freader keeps per-file counters only) — this
+  * completes the sizing-sketch family next to [[Frequency]] (how often) and
+  * [[Cardinality]] (how many distinct): how is it DISTRIBUTED.
+  */
+object Quantile {
+
+  /** 2^60 — the sha60 value range. */
+  private val HashSpan = 1L << 60
+
+  /** Sample-membership threshold for a rate in (0, 1]. Computed once,
+    * driver-side, so the engine filter and the oracle SQL embed the SAME
+    * integer literal (deriving it in SQL from a double would invite
+    * rounding drift).
+    */
+  def threshold(rate: Double): Long = {
+    require(rate > 0.0 && rate <= 1.0 && !rate.isNaN,
+      s"sample rate $rate outside (0, 1]")
+    math.min(HashSpan, (rate * HashSpan.toDouble).toLong)
+  }
+
+  /** The deterministic Bernoulli sample: rows whose salted key hash falls
+    * under `threshold(rate)`. A pushed-down scan-stage predicate — no
+    * shuffle, no state.
+    */
+  def sampleByKey(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
+    df.filter(
+      Hashing.sha60(concat(lit("qs:"), keyCol.cast("string"))) <
+        lit(threshold(rate)))
+
+  /** Type-1 quantiles (ceil(q·n)-th order statistics) of `valueCol` over
+    * the hash sample. `permille` lists the requested quantiles in integer
+    * permille (500 = median, 990 = p99) so rank arithmetic is pure integer
+    * — `rank = (q·n + 999) div 1000` — and exactly reproducible in the
+    * oracle. Returns one row per requested quantile:
+    * (q_permille int, n_sample long, v long); an empty sample returns no
+    * rows (there is no order statistic to report).
+    *
+    * Rank lookup is HISTOGRAM-SPAN matching, not a full-sample sort: the
+    * sample collapses to per-value counts (one map-side-combined groupBy —
+    * the shuffle carries ≤ |distinct v| integer rows per task), a running
+    * sum over the value-ordered histogram assigns each value its rank span
+    * `(cum − cnt, cum]`, and the value holding rank k is the one whose span
+    * contains k. The single-partition window runs over DISTINCT values only
+    * (token counts, lengths, scores — thousands of rows), never the sample;
+    * for a value domain so fine-grained that |distinct v| approaches the
+    * sample size, pre-bucket `valueCol` before calling (the quantile of the
+    * bucketed value bounds the true one by the bucket width).
+    */
+  def orderStatQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,
+      permille: Seq[Int], rate: Double): DataFrame = {
+    require(permille.nonEmpty && permille.forall(q => q >= 1 && q <= 1000),
+      s"quantile permille values must be in [1, 1000]: $permille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = sampleByKey(df, keyCol, rate)
+      .groupBy(valueCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    // one window pass over the tiny histogram yields both the rank spans
+    // and the sample size (no second scan of the input)
+    val ordered = Window.orderBy(col("v"))
+    val spans = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_sample", sum(col("cnt")).over(
+        ordered.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    spans.crossJoin(broadcast(permille.toDF("q_permille")))
+      .withColumn("rk", expr("(q_permille * n_sample + 999) div 1000"))
+      .filter(col("cum") >= col("rk") && col("cum") - col("cnt") < col("rk"))
+      .select(col("q_permille"), col("n_sample"), col("v"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quantile
+
+/** Pins the hash-sampled quantile sketch's operator invariants:
+  * deterministic sample membership, per-shard consistency (sample of a
+  * union = union of shard samples), type-1 order-statistic exactness on a
+  * known multiset, rate validation, and the DKW-style accuracy sanity on a
+  * planted distribution. Exact cross-engine values are covered by the
+  * q_quantile_sketch DuckDB oracle.
+  */
+class QuantileSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def table(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(col("id"), (col("id") % 100).as("v"))
+
+  test("sampling is deterministic and composes across shards") {
+    val whole = Quantile.sampleByKey(table(0, 4000), col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    val again = Quantile.sampleByKey(table(0, 4000), col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(whole == again)
+    // hash sampling is consistent: per-shard samples union to exactly the
+    // whole-table sample — the per-day rollup path needs no re-read
+    val shards = Quantile.sampleByKey(table(0, 1500), col("id"), 0.3)
+      .select("id").as[Long].collect().toSet ++
+      Quantile.sampleByKey(table(1500, 4000), col("id"), 0.3)
+        .select("id").as[Long].collect().toSet
+    assert(shards == whole)
+    // the rate is honored within binomial noise (4000 keys, p=0.3)
+    assert(whole.size > 900 && whole.size < 1500, s"sampled ${whole.size}")
+  }
+
+  test("order statistics are exact type-1 quantiles of the sample") {
+    // rate 1.0 = the sample IS the data: quantiles must be exact order
+    // statistics of the known multiset 0..99 repeated
+    val out = Quantile.orderStatQuantiles(table(0, 1000), col("id"), col("v"),
+        Seq(500, 900, 990, 1000), rate = 1.0)
+      .select("q_permille", "n_sample", "v")
+      .as[(Int, Long, Long)].collect().toSet
+    // 1000 rows of v = id % 100: each value 0..99 appears 10 times; the
+    // k-th smallest is (k-1) / 10
+    def expected(q: Int): Long = {
+      val k = (q.toLong * 1000 + 999) / 1000
+      (k - 1) / 10
+    }
+    assert(out == Set(500, 900, 990, 1000).map(q => (q, 1000L, expected(q))))
+  }
+
+  test("sampled quantiles land near true quantiles (DKW sanity)") {
+    val out = Quantile.orderStatQuantiles(table(0, 20000), col("id"), col("v"),
+        Seq(500, 900), rate = 0.25)
+      .select("q_permille", "v").as[(Int, Long)].collect().toMap
+    // v uniform on 0..99: true medians 49/50, p90 89/90; m ≈ 5000 sampled
+    // rows bounds the CDF error well under ±0.03 → ±3 value points
+    assert(math.abs(out(500) - 50L) <= 3, s"median ${out(500)}")
+    assert(math.abs(out(900) - 90L) <= 3, s"p90 ${out(900)}")
+  }
+
+  test("contracts: rate and permille ranges; empty sample yields no rows") {
+    intercept[IllegalArgumentException](Quantile.threshold(0.0))
+    intercept[IllegalArgumentException](Quantile.threshold(1.5))
+    intercept[IllegalArgumentException](
+      Quantile.orderStatQuantiles(table(0, 10), col("id"), col("v"),
+        Seq(0), rate = 0.5))
+    val empty = Quantile.orderStatQuantiles(
+      table(0, 10).filter(col("id") < 0), col("id"), col("v"),
+      Seq(500), rate = 0.5)
+    assert(empty.count() == 0L)
+  }
+}
