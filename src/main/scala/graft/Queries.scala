@@ -804,6 +804,16 @@ object Queries {
         Seq(500, 900, 990), rate = 0.25)
     }),
 
+    // cross-document EXACT 8-gram duplication coverage (exact-substring
+    // dedup's reporting face, Lee et al. 2022): per doc sharing ≥1 hashed
+    // 8-token shingle with another doc, its distinct-shingle count and how
+    // many are shared corpus-wide — verbatim-span duplication that MinHash
+    // whole-doc similarity misses. Inverted-index shape over (long, long)
+    // rows only; the oracle replays the identical shingle hashes
+    // (hashedShinglesSql) through an independent unnest/HAVING derivation.
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.crossDocShingleCoverage(documents(s, dir), "doc_id", "text", 8)),
+
     // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
     // fresh persisted hash store — batch A (even doc_ids) seeds the store,
     // batch B (odd doc_ids + planted cross-batch copies of A content +
@@ -1629,6 +1639,18 @@ object Queries {
         |      FROM (VALUES (500), (900), (990)) qs(q_permille) CROSS JOIN n)
         |SELECT t.q_permille AS q_permille, t.n_sample AS n_sample, r.v AS v
         |FROM t JOIN r ON r.rn = t.rk""".stripMargin,
+
+    // cross-doc duplication coverage: identical shingle hashes via
+    // hashedShinglesSql, then an independent unnest → HAVING count > 1 →
+    // join-back derivation (per-doc distinctness makes count(*) per hash
+    // equal distinct docs in both engines)
+    "q_dup_spans" ->
+      s"""WITH hs AS (SELECT id, hs FROM ${hashedShinglesSql("documents", 8)} hx),
+        |ex AS (SELECT id, unnest(hs) AS h FROM hs),
+        |shared AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 1),
+        |ns AS (SELECT ex.id, count(*) AS n_shared FROM ex JOIN shared USING (h) GROUP BY 1)
+        |SELECT hs.id AS doc_id, len(hs.hs) AS n_shingles, ns.n_shared AS n_shared
+        |FROM hs JOIN ns ON ns.id = hs.id""".stripMargin,
 
     // cardinality sketch: the same hashed-shingle universe the minhash
     // oracles derive (hashedShinglesSql — per-token sha60 % P + rolling

@@ -529,6 +529,38 @@ object Dedup {
       .filter(size(col("hs")) > 0)
   }
 
+  /** Cross-document EXACT n-gram duplication coverage — the reporting face
+    * of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": long verbatim spans recurring
+    * across documents are the memorization risk that MinHash's whole-doc
+    * similarity misses). For every document sharing at least one hashed
+    * n-token shingle with ANOTHER document, emits
+    * (doc_id, n_shingles, n_shared): its distinct-shingle count and how
+    * many of those shingles also occur elsewhere in the corpus — the
+    * duplicated-content fraction a span-removal pass would target.
+    *
+    * 100 TB shape: the canonical inverted-index pipeline over integers
+    * only — per-doc distinct shingle hashes (one native `shingle_hashes`
+    * pass, so each token pays one sha256), explode to (hash, id), one
+    * map-side-combined count per hash (per-doc distinctness makes
+    * `count(*)` = distinct docs — no count_distinct state), filter to the
+    * shared minority, then one semi-shaped join back and a per-doc count.
+    * Shuffles carry (long, long) rows; no strings, no all-pairs product —
+    * the same scaling argument as the LSH band join.
+    */
+  def crossDocShingleCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val hs = shingleHashSets(df, idCol, textCol, n)
+    val ex = hs.select(col("id"), explode(col("hs")).as("h"))
+    val shared = ex.groupBy(col("h")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") > 1).select(col("h"))
+    val nShared = ex.join(shared, "h")
+      .groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_shared"))
+    hs.select(col("id").as("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"))
+      .join(nShared, "doc_id")
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
     * index: explode → self-join on shingle → per-pair intersection counts →
     * |A∩B| / (|A|+|B|−|A∩B|). Pairs are (a < b).

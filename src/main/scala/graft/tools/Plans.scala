@@ -80,6 +80,15 @@ object Plans {
     println("==== capstone curation pipeline (six stages, one plan) ====")
     graft.Queries.queries("q_curate_full")(spark, dir).explain("formatted")
 
+    println("==== quantile sketch (sample predicate in scan; window over the value histogram, never the sample) ====")
+    graft.Queries.queries("q_quantile_sketch")(spark, dir).explain("formatted")
+
+    println("==== as-of join (ONE exchange, no Join node — union + running last over the keyed timeline) ====")
+    graft.Queries.queries("q_asof_attribution")(spark, dir).explain("formatted")
+
+    println("==== cross-doc dup spans (inverted index over longs; no cartesian) ====")
+    graft.Queries.queries("q_dup_spans")(spark, dir).explain("formatted")
+
     println("==== incremental exact dedup batch-B plan (hash anti-join vs store, no BNLJ) ====")
     locally {
       val store = java.nio.file.Files.createTempDirectory("graft-plans-inc").toString

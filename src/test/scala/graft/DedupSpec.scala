@@ -268,6 +268,22 @@ class DedupSpec extends AnyFunSuite {
     assert(b2.fresh.count() == 1L) // T1 reopened by the retraction
   }
 
+  test("crossDocShingleCoverage counts exactly the shingles shared across docs") {
+    // one 8-token span planted in three docs; doc 4 is all-unique tokens;
+    // doc 3 has the span plus one extra token (2 shingles, 1 shared)
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, span),                       // 1 shingle, shared
+      (2L, span),                       // 1 shingle, shared
+      (3L, span + " tail"),             // 2 shingles, 1 shared
+      (4L, (1 to 9).map(i => s"u$i").mkString(" ")), // 2 shingles, none shared
+      (5L, "too short")                 // < 8 tokens: no shingles at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocShingleCoverage(d, "doc_id", "text", 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)))
+  }
+
   test("hashed shingle sets equal sha60-of-string shingles in size (no in-doc collisions here)") {
     val strs = Dedup.shingleSets(docs, "doc_id", "text", 3)
       .select($"id", size($"sh").as("n")).as[(Long, Int)].collect().toMap

@@ -100,6 +100,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pEst.contains("SortMergeJoin"), pEst)
   }
 
+  test("quantile sketch: histogram combines map-side; nothing sorts the sample") {
+    // the per-value groupBy must partial-combine before its exchange (the
+    // shuffle carries counts, not sampled rows), and the only Sort nodes
+    // belong to the tiny histogram window — no sample-wide global sort
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dup spans: inverted-index joins stay hash-based, no cartesian") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("events scan prunes columns and pushes the filter down") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/events.parquet")
