@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{AsOf, Cardinality, Dedup, Enrich, Frequency, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Cardinality, Dedup, Enrich, Frequency, Mixing, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -349,6 +349,18 @@ object Queries {
           .select(col("a"), col("b")))
         .select(col("id").as("doc_id"), col("cluster"), col("n_members"))),
 
+    // canonical-representative selection over the same clusters: keep the
+    // LONGEST member of each near-dup family (tie → lowest id), mark the
+    // rest for removal — the curation policy a bare min-id dedup gets
+    // wrong (the arbitrary survivor may be the truncated copy). The
+    // oracle closes the same pair graph recursively, then re-derives the
+    // argmax pick per cluster independently.
+    "q_dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalRepresentatives(nearDupFixture(s, dir), "doc_id",
+        "text", n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+        .select(col("id").as("doc_id"), col("cluster"), col("text_len"),
+          col("keep"))),
+
     // SimHash near-dup pairs (native expression, sha256-derived token hash
     // — the DuckDB oracle recomputes the identical 60-bit fingerprints)
     "q_dedup_simhash" -> ((s, dir) => {
@@ -429,6 +441,38 @@ object Queries {
         concat(lit("split:"), col("doc_id").cast("string"))) % 1000
       documents(s, dir).select(col("doc_id"),
         when(h < 980, "train").when(h < 990, "val").otherwise("test").as("split"))
+    }),
+
+    // deterministic source-mixing sampler: blend the corpus to a target
+    // recipe — source srcN survives at (1000 − 47·N) permille, membership
+    // = sha60("mix:" || doc_id) % 1000 under the rate. The engine joins a
+    // BROADCAST rate dimension (the realistic shape: rates come from a
+    // config table, not the source name); the oracle derives the same
+    // rates analytically from the name — an independent path to the same
+    // blend. Zero shuffles: one codegen'd hash-compare behind a broadcast
+    // join.
+    "q_mix_sources" -> ((s, dir) => {
+      val rates = (0 until 20).map(i => s"src$i" -> (1000 - 47 * i)).toMap
+      Mixing.mixBySource(documents(s, dir), col("doc_id"), col("source"),
+          rates)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // deterministic training-shard assignment + within-shard order: the
+    // dataloader-facing global pseudo-shuffle — shard = hash ring A,
+    // position = rank on hash ring B within the shard (decorrelated salts,
+    // ties impossible short of a sha collision but doc_id still breaks
+    // them). RNG-free, so the training order is reproducible across reruns
+    // and engines; one exchange on the shard key, windows per shard.
+    "q_shard_order" -> ((s, dir) => {
+      val hs = Hashing.sha60(concat(lit("shard:"), col("doc_id").cast("string")))
+      val ho = Hashing.sha60(concat(lit("ord:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("ho"), col("doc_id"))
+      documents(s, dir)
+        .select(col("doc_id"), (hs % 16).cast("int").as("shard"), ho.as("ho"))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
     }),
 
     // benchmark decontamination: flag corpus docs sharing any 8-gram with
@@ -804,6 +848,18 @@ object Queries {
         Seq(500, 900, 990), rate = 0.25)
     }),
 
+    // PER-GROUP quantile sketch: one p50/p90/p99 length threshold per
+    // language stratum from a 50% hash sample — the "one cutoff per
+    // stratum" face of a curation pass (per-language length caps). Every
+    // window partitions by the group key, so unlike the global variant
+    // there is NO single-partition stage anywhere in the plan; the oracle
+    // re-derives the identical sample, histogram, and rank spans per group.
+    "q_group_quantiles" -> ((s, dir) =>
+      Quantile.groupedOrderStatQuantiles(documents(s, dir), col("lang"),
+        col("doc_id"), col("n_chars"), Seq(500, 900, 990), rate = 0.5)
+        .select(col("g").as("lang"), col("q_permille"), col("n_sample"),
+          col("v"))),
+
     // cross-document EXACT 8-gram duplication coverage (exact-substring
     // dedup's reporting face, Lee et al. 2022): per doc sharing ≥1 hashed
     // 8-token shingle with another doc, its distinct-shingle count and how
@@ -958,6 +1014,9 @@ object Queries {
     * (declared before [[oracleSql]]: object init order).
     */
   private val qsThreshold: Long = graft.operators.Quantile.threshold(0.25)
+
+  /** q_group_quantiles sample threshold (50%) — same discipline. */
+  private val gqThreshold: Long = graft.operators.Quantile.threshold(0.5)
 
   /** DuckDB twin of [[graft.operators.Similarity.planeMatrix]] +
     * band sketches: given a relation `src(vec_id, v double[])`, emits CTEs
@@ -1311,6 +1370,24 @@ object Queries {
            |SELECT cl.id AS doc_id, cl.cluster, sz.n_members
            |FROM cl JOIN sz USING (cluster)""".stripMargin),
 
+    // canonical pick: the same recursive-CTE cluster closure, then the
+    // keep/drop argmax (longest text, tie lowest id) re-derived per cluster
+    "q_dedup_canonical" ->
+      ("WITH RECURSIVE " + nearDupCte.stripPrefix("WITH ") + ", " +
+        mhBatchCtes("c", "docs2", 0.6) +
+        s""",
+           |ed AS (SELECT a, b FROM vpc UNION ALL SELECT b, a FROM vpc),
+           |rc(id, r) AS (
+           |  SELECT DISTINCT a, a FROM ed
+           |  UNION
+           |  SELECT ed.a, rc.r FROM ed JOIN rc ON rc.id = ed.b),
+           |cl AS (SELECT id, min(r) AS cluster FROM rc GROUP BY id),
+           |ln AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS text_len FROM docs2),
+           |pk AS (SELECT cl.id, cl.cluster, ln.text_len,
+           |         row_number() OVER (PARTITION BY cl.cluster ORDER BY ln.text_len DESC, cl.id) AS rn
+           |       FROM cl JOIN ln USING (id))
+           |SELECT id AS doc_id, cluster, text_len, (rn = 1) AS keep FROM pk""".stripMargin),
+
     // incremental exact dedup: B's survivors = B deduped within itself
     // (lowest id per content), minus any content batch A committed — the
     // same sha60 store key the engine anti-joins on
@@ -1471,6 +1548,23 @@ object Queries {
          |  CASE WHEN h < 980 THEN 'train' WHEN h < 990 THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT doc_id,
          |  (${sha60Sql("'split:' || CAST(doc_id AS VARCHAR)")}) % 1000 AS h
+         |  FROM documents) t""".stripMargin,
+
+    // source mixing: the engine blends via a broadcast rate dimension; the
+    // oracle derives the same per-source permille analytically from the
+    // source name (src<N> → 1000 − 47·N) — an independent path to the blend
+    "q_mix_sources" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ((${sha60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}) % 1000)
+         |  < (1000 - 47 * TRY_CAST(substr(source, 4) AS INTEGER))""".stripMargin,
+
+    // shard + order: same two decorrelated hash rings, rank within shard
+    "q_shard_order" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ho, doc_id) AS INTEGER) AS pos
+         |FROM (SELECT doc_id,
+         |  CAST((${sha60Sql("'shard:' || CAST(doc_id AS VARCHAR)")}) % 16 AS INTEGER) AS shard,
+         |  (${sha60Sql("'ord:' || CAST(doc_id AS VARCHAR)")}) AS ho
          |  FROM documents) t""".stripMargin,
 
     "q_decontaminate" ->
@@ -1639,6 +1733,23 @@ object Queries {
         |      FROM (VALUES (500), (900), (990)) qs(q_permille) CROSS JOIN n)
         |SELECT t.q_permille AS q_permille, t.n_sample AS n_sample, r.v AS v
         |FROM t JOIN r ON r.rn = t.rk""".stripMargin,
+
+    // per-group quantiles: the identical 50% hash sample ring, then the
+    // engine's histogram-span rank lookup re-derived per language stratum
+    // (cumulative counts over the value-ordered histogram; the value whose
+    // span contains the integer rank target is the quantile)
+    "q_group_quantiles" ->
+      s"""WITH smp AS (
+        |  SELECT lang, n_chars AS v FROM documents
+        |  WHERE (${sha60Sql("'qs:' || CAST(doc_id AS VARCHAR)")}) < $gqThreshold
+        |), hist AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS cnt FROM smp GROUP BY 1, 2),
+        |sp AS (SELECT lang, v, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_sample FROM hist)
+        |SELECT lang, q_permille, n_sample, v
+        |FROM sp CROSS JOIN (VALUES (500), (900), (990)) qs(q_permille)
+        |WHERE cum >= (q_permille * n_sample + 999) // 1000
+        |  AND cum - cnt < (q_permille * n_sample + 999) // 1000""".stripMargin,
 
     // cross-doc duplication coverage: identical shingle hashes via
     // hashedShinglesSql, then an independent unnest → HAVING count > 1 →

@@ -701,6 +701,37 @@ object Dedup {
       minhashLsh(df, idCol, textCol, n, bands, rowsPerBand, threshold)
         .select(col("a"), col("b")))
 
+  /** Canonical-representative selection over the near-dup clusters: within
+    * each cluster, KEEP the member with the longest text (ties broken by
+    * lowest id) and mark the rest for removal — the curation policy that a
+    * bare "drop all but min-id" dedup gets wrong, since the arbitrary
+    * survivor may be the truncated copy of the family ("keep the superset
+    * document" is the standard near-dup resolution heuristic). Returns
+    * (id, cluster, text_len, keep) for every clustered doc; singletons
+    * (docs in no near-dup pair) are not emitted — they are trivially kept
+    * and never shuffle through the cluster machinery at all.
+    *
+    * 100 TB shape: the cluster labels are the ids-only table
+    * [[nearDupClusters]] already bounds (duplicated docs only, a small
+    * fraction of the corpus); one join pins each label to its text length
+    * (a pure scan-side projection — text itself never shuffles) and one
+    * window over the cluster key picks the argmax. Everything after the
+    * LSH stage moves (long, long) rows.
+    */
+  def canonicalRepresentatives(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val cl = nearDupClusters(df, idCol, textCol, n, bands, rowsPerBand,
+      threshold)
+    val len = df.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("text_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("text_len").desc, col("id"))
+    cl.join(len, "id")
+      .withColumn("keep", row_number().over(w) === lit(1))
+      .select(col("id"), col("cluster"), col("text_len"), col("keep"))
+  }
+
   /** Connected components over ANY undirected pair graph `(a, b)` — the
     * label-propagation core of [[nearDupClusters]], reusable over every
     * pair producer in the family ([[simhashPairs]], [[embeddingNearDup]],

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic source-mixing sampler — the "blend the corpus to a target
+  * recipe" stage of a training-data pipeline (wiki × 2 epochs, web × 0.25,
+  * forums × 0.5, …): each source is down-sampled to its own acceptance
+  * rate, reproducibly.
+  *
+  * Membership is a pure function of the row key — a row survives iff
+  * `sha60("mix:" || key) mod 1000 < rate_permille(source)` ([[Hashing.sha60]],
+  * the cross-engine kernel; the "mix:" salt decorrelates this ring from the
+  * split / stratified-sample / quantile-sample rings over the same keys).
+  * No RNG means the blend is reshuffle-stable, replayable across reruns and
+  * engines, and CONSISTENT: per-shard blends union to the corpus blend, so
+  * incremental batches can be mixed independently and concatenated — the
+  * same rollup property as the sketch merges.
+  *
+  * The 100 TB shape: the rate table is a broadcast dimension (tens-to-
+  * thousands of sources vs billions of rows — the [[Enrich]] join shape) and
+  * the membership test is one codegen'd hash-compare, so the whole operator
+  * is a scan-stage filter: zero shuffles, zero state, trivially resumable.
+  * Sources absent from the rate table are DROPPED (the rate table is an
+  * explicit allowlist — a silent pass-through would un-mix the blend the
+  * moment an upstream adds a source).
+  *
+  * No reference analogue (freader routes, it never samples); this is the
+  * corpus-composition stage the curation capstone feeds.
+  */
+object Mixing {
+
+  /** Down-sample `df` per source at `ratesPermille` (0 = drop all,
+    * 1000 = keep all). Returns the surviving rows with their original
+    * columns. `keyCol` must be stable and unique per row (the dedup /
+    * split discipline); `salt` names the hash ring.
+    */
+  def mixBySource(df: DataFrame, keyCol: Column, sourceCol: Column,
+      ratesPermille: Map[String, Int], salt: String = "mix"): DataFrame = {
+    require(ratesPermille.nonEmpty, "mixBySource: empty rate table")
+    ratesPermille.foreach { case (s, r) =>
+      require(r >= 0 && r <= 1000,
+        s"mixBySource: rate for '$s' outside [0, 1000]: $r")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = broadcast(
+      ratesPermille.toSeq.toDF("_mix_source", "_mix_rate"))
+    val ring =
+      Hashing.sha60(concat(lit(salt + ":"), keyCol.cast("string"))) % 1000
+    df.join(rates, sourceCol === col("_mix_source"))
+      .filter(ring < col("_mix_rate"))
+      .drop("_mix_source", "_mix_rate")
+  }
+}

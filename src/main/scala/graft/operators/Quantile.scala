@@ -106,4 +106,37 @@ object Quantile {
       .filter(col("cum") >= col("rk") && col("cum") - col("cnt") < col("rk"))
       .select(col("q_permille"), col("n_sample"), col("v"))
   }
+
+  /** Per-group variant of [[orderStatQuantiles]]: type-1 quantiles of
+    * `valueCol` within each `groupCol` stratum (per-language length
+    * distributions, per-source quality tails — the "one threshold per
+    * stratum" face of a curation pass). Same sample ring, same integer
+    * rank arithmetic; returns (g, q_permille int, n_sample long, v long),
+    * one row per (group, quantile), groups with an empty sample absent.
+    *
+    * This is the BETTER-scaling shape of the two: every window partitions
+    * by the group key, so the histogram walk parallelizes across strata
+    * and no single-partition stage exists at all — both window passes and
+    * the groupBy share the one exchange on (g)/(g, v).
+    */
+  def groupedOrderStatQuantiles(df: DataFrame, groupCol: Column,
+      keyCol: Column, valueCol: Column, permille: Seq[Int],
+      rate: Double): DataFrame = {
+    require(permille.nonEmpty && permille.forall(q => q >= 1 && q <= 1000),
+      s"quantile permille values must be in [1, 1000]: $permille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = sampleByKey(df, keyCol, rate)
+      .groupBy(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val ordered = Window.partitionBy(col("g")).orderBy(col("v"))
+    val spans = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_sample", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+    spans.crossJoin(broadcast(permille.toDF("q_permille")))
+      .withColumn("rk", expr("(q_permille * n_sample + 999) div 1000"))
+      .filter(col("cum") >= col("rk") && col("cum") - col("cnt") < col("rk"))
+      .select(col("g"), col("q_permille"), col("n_sample"), col("v"))
+  }
 }

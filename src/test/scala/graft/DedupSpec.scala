@@ -284,6 +284,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)))
   }
 
+  test("canonicalRepresentatives keeps the longest member per cluster") {
+    // the same chain fixture as the clusters test: family {3, 1003} is an
+    // exact pair (equal length → tie falls to the lower id), family
+    // {5, 1005, 2005} grows strictly longer along the chain, so the
+    // canonical pick is the LAST link — the opposite of min-id dedup
+    val base = (0L until 20L).map(i =>
+      (i, (0 until 20).map(j => s"t${i}_$j").mkString(" ")))
+    val chain = Seq(
+      (1003L, base(3)._2),
+      (1005L, base(5)._2 + " tail tail"),
+      (2005L, base(5)._2 + " tail tail tail tail"))
+    val df = (base ++ chain).toDF("doc_id", "text")
+    val out = Dedup.canonicalRepresentatives(df, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val keepByCluster = out.filter(_._4).groupBy(_._2)
+    // exactly one keeper per cluster
+    assert(keepByCluster.values.forall(_.length == 1))
+    // tie on equal length → lowest id wins
+    assert(keepByCluster(3L).head._1 == 3L)
+    // strictly growing chain → the longest (2005), not the min id (5)
+    assert(keepByCluster(5L).head._1 == 2005L)
+    // every clustered member is present exactly once, keep or drop
+    assert(out.map(_._1).toSet == Set(3L, 1003L, 5L, 1005L, 2005L))
+  }
+
   test("hashed shingle sets equal sha60-of-string shingles in size (no in-doc collisions here)") {
     val strs = Dedup.shingleSets(docs, "doc_id", "text", 3)
       .select($"id", size($"sh").as("n")).as[(Long, Int)].collect().toMap

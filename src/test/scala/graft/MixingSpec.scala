@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Hashing
+import graft.operators.Mixing
+
+/** Pins the source-mixing sampler's operator invariants: deterministic
+  * membership (a JVM replay of the hash ring predicts the exact survivor
+  * set), rate-0 / rate-1000 edges, allowlist semantics for unknown
+  * sources, shard-consistency of the blend, and rate validation. Exact
+  * cross-engine values are covered by the q_mix_sources DuckDB oracle.
+  */
+class MixingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(n: Long) =
+    spark.range(0, n).select(col("id"),
+      concat(lit("s"), (col("id") % 4).cast("string")).as("src"))
+
+  test("membership is the exact hash-ring predicate, per row") {
+    val rates = Map("s0" -> 1000, "s1" -> 500, "s2" -> 250, "s3" -> 0)
+    val kept = Mixing.mixBySource(corpus(2000), col("id"), col("src"), rates)
+      .select("id").as[Long].collect().toSet
+    val expected = (0L until 2000L).filter { id =>
+      val r = rates(s"s${id % 4}")
+      Hashing.sha60Jvm(s"mix:$id") % 1000 < r
+    }.toSet
+    assert(kept == expected)
+    // rate 1000 keeps every s0 row; rate 0 keeps no s3 row
+    assert((0L until 2000L by 4L).toSet.subsetOf(kept))
+    assert(kept.forall(_ % 4 != 3))
+  }
+
+  test("blend is deterministic and composes across shards") {
+    val rates = Map("s0" -> 700, "s1" -> 300, "s2" -> 900, "s3" -> 100)
+    def ids(lo: Long, hi: Long) =
+      Mixing.mixBySource(
+          spark.range(lo, hi).select(col("id"),
+            concat(lit("s"), (col("id") % 4).cast("string")).as("src")),
+          col("id"), col("src"), rates)
+        .select("id").as[Long].collect().toSet
+    val whole = ids(0, 3000)
+    assert(whole == ids(0, 3000))
+    assert(whole == ids(0, 1100) ++ ids(1100, 3000))
+  }
+
+  test("sources absent from the rate table are dropped (allowlist)") {
+    val kept = Mixing.mixBySource(corpus(400), col("id"), col("src"),
+        Map("s0" -> 1000, "s1" -> 1000))
+      .select("src").distinct().as[String].collect().toSet
+    assert(kept == Set("s0", "s1"))
+  }
+
+  test("rates outside [0, 1000] and empty tables are rejected") {
+    intercept[IllegalArgumentException] {
+      Mixing.mixBySource(corpus(10), col("id"), col("src"), Map("s0" -> 1001))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.mixBySource(corpus(10), col("id"), col("src"), Map("s0" -> -1))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.mixBySource(corpus(10), col("id"), col("src"), Map.empty)
+    }
+  }
+
+  test("per-source survival tracks the requested permille") {
+    val rates = Map("s0" -> 800, "s1" -> 400, "s2" -> 200, "s3" -> 50)
+    val got = Mixing.mixBySource(corpus(8000), col("id"), col("src"), rates)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    for ((s, r) <- rates) {
+      val want = 2000.0 * r / 1000.0
+      val g = got.getOrElse(s, 0L).toDouble
+      assert(math.abs(g - want) < 2000 * 0.05,
+        s"$s: kept $g of 2000 at rate $r permille")
+    }
+  }
+}

@@ -117,6 +117,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("source mixing is a zero-shuffle broadcast-dimension filter") {
+    val p = plan("q_mix_sources")
+    assert(exchanges(p) == 0, s"mixing grew a shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("grouped quantiles: per-group windows, no single-partition stage") {
+    val p = plan("q_group_quantiles")
+    // the histogram partial-combines before its one exchange, and every
+    // exchange is hash-partitioned — no SinglePartition coalesce anywhere
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("shard order: one exchange on the shard key feeds the rank window") {
+    val p = plan("q_shard_order")
+    assert(exchanges(p) == 1, s"shard order should shuffle exactly once:\n$p")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("events scan prunes columns and pushes the filter down") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/events.parquet")

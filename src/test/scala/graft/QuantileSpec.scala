@@ -73,4 +73,44 @@ class QuantileSpec extends AnyFunSuite {
       Seq(500), rate = 0.5)
     assert(empty.count() == 0L)
   }
+
+  test("grouped quantiles are exact per-group order statistics at rate 1.0") {
+    // group g0: v = 0..9 ×100 each; group g1: v = 0..4 ×200 each — known
+    // multisets, so per-group type-1 stats are closed-form
+    val d = spark.range(0, 2000).select(col("id"),
+      when(col("id") < 1000, "g0").otherwise("g1").as("g"),
+      when(col("id") < 1000, col("id") % 10).otherwise(col("id") % 5).as("v"))
+    val out = Quantile.groupedOrderStatQuantiles(d, col("g"), col("id"),
+        col("v"), Seq(500, 900), rate = 1.0)
+      .as[(String, Int, Long, Long)].collect().toSet
+    def exp(q: Int, per: Int): Long = {
+      val k = (q.toLong * 1000 + 999) / 1000
+      (k - 1) / (1000 / per)
+    }
+    assert(out == Set(
+      ("g0", 500, 1000L, exp(500, 10)), ("g0", 900, 1000L, exp(900, 10)),
+      ("g1", 500, 1000L, exp(500, 5)), ("g1", 900, 1000L, exp(900, 5))))
+  }
+
+  test("grouped matches ungrouped when there is one group; empty groups absent") {
+    val d = table(0, 4000).withColumn("g", lit("only"))
+    val grouped = Quantile.groupedOrderStatQuantiles(d, col("g"), col("id"),
+        col("v"), Seq(500, 990), rate = 0.3)
+      .select("q_permille", "n_sample", "v")
+      .as[(Int, Long, Long)].collect().toSet
+    val global = Quantile.orderStatQuantiles(d, col("id"), col("v"),
+        Seq(500, 990), rate = 0.3)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(grouped == global)
+    // a group whose every key misses the sample emits nothing rather
+    // than a null quantile
+    val sparse = d.withColumn("g",
+      when(col("id") === 17, "lonely").otherwise("only"))
+    val gs = Quantile.groupedOrderStatQuantiles(sparse, col("g"), col("id"),
+        col("v"), Seq(500), rate = 0.3)
+      .select("g").as[String].collect().toSet
+    assert(!gs.contains("lonely") ||
+      Quantile.sampleByKey(d.filter(col("id") === 17), col("id"), 0.3)
+        .count() == 1L)
+  }
 }
