@@ -458,6 +458,19 @@ object Queries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // epoch-upsampled blend: rates above 1000 permille REPEAT a source
+    // (srcN at 2000 − 83·N permille: src0 = 2 full epochs, src12 ≈ 1.004,
+    // src19 ≈ 0.42 — mixed up- and down-sampling in one recipe); each row
+    // carries floor(r/1000) copies plus one more iff its ring falls under
+    // r mod 1000, tagged with a 0-based epoch index. Still zero shuffles:
+    // the duplication explodes after the broadcast join.
+    "q_mix_epochs" -> ((s, dir) => {
+      val rates = (0 until 20).map(i => s"src$i" -> (2000 - 83 * i)).toMap
+      Mixing.mixWithEpochs(documents(s, dir), col("doc_id"), col("source"),
+          rates)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
     // deterministic training-shard assignment + within-shard order: the
     // dataloader-facing global pseudo-shuffle — shard = hash ring A,
     // position = rank on hash ring B within the shard (decorrelated salts,
@@ -1557,6 +1570,19 @@ object Queries {
       s"""SELECT doc_id, source FROM documents
          |WHERE ((${sha60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}) % 1000)
          |  < (1000 - 47 * TRY_CAST(substr(source, 4) AS INTEGER))""".stripMargin,
+
+    // epoch upsampling: same ring, analytic rates (src<N> → 2000 − 83·N),
+    // copies = r div 1000 (+1 under the fractional ring), unnested 0-based
+    "q_mix_epochs" ->
+      s"""SELECT doc_id, source, CAST(unnest(range(copies)) AS INTEGER) AS epoch
+         |FROM (
+         |  SELECT doc_id, source,
+         |    (r // 1000) + CASE WHEN ring < (r % 1000) THEN 1 ELSE 0 END AS copies
+         |  FROM (SELECT doc_id, source,
+         |    ((${sha60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}) % 1000) AS ring,
+         |    (2000 - 83 * TRY_CAST(substr(source, 4) AS INTEGER)) AS r
+         |    FROM documents) t) c
+         |WHERE copies > 0""".stripMargin,
 
     // shard + order: same two decorrelated hash rings, rank within shard
     "q_shard_order" ->

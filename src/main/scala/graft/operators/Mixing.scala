@@ -54,4 +54,40 @@ object Mixing {
       .filter(ring < col("_mix_rate"))
       .drop("_mix_source", "_mix_rate")
   }
+
+  /** Mixing with EPOCH upsampling — the other half of a real blend recipe:
+    * rates may exceed 1000 permille, and a source at rate r contributes
+    * `floor(r / 1000)` full copies of every row plus one more iff the
+    * row's hash ring falls under `r mod 1000` (so rate 2250 = every row
+    * twice, every fourth row three times — exactly 2.25 expected epochs).
+    * Returns the surviving rows with an extra `epoch` column (0-based copy
+    * index) so a downstream shuffle/pack stage can interleave copies.
+    *
+    * Same determinism contract as [[mixBySource]] (which this generalizes:
+    * rates ≤ 1000 never duplicate). The duplication is an `explode` over a
+    * generated [0, copies) sequence — rows widen AFTER the broadcast join,
+    * still zero shuffles, and the blowup is bounded by max(rate)/1000.
+    */
+  def mixWithEpochs(df: DataFrame, keyCol: Column, sourceCol: Column,
+      ratesPermille: Map[String, Int], salt: String = "mix"): DataFrame = {
+    require(ratesPermille.nonEmpty, "mixWithEpochs: empty rate table")
+    ratesPermille.foreach { case (s, r) =>
+      require(r >= 0 && r <= 100000,
+        s"mixWithEpochs: rate for '$s' outside [0, 100000]: $r")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = broadcast(
+      ratesPermille.toSeq.toDF("_mix_source", "_mix_rate"))
+    val ring =
+      Hashing.sha60(concat(lit(salt + ":"), keyCol.cast("string"))) % 1000
+    df.join(rates, sourceCol === col("_mix_source"))
+      .withColumn("_mix_copies",
+        expr("_mix_rate div 1000").cast("int") +
+          when(ring < col("_mix_rate") % 1000, 1).otherwise(0))
+      .filter(col("_mix_copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("_mix_copies") - 1)))
+      .drop("_mix_source", "_mix_rate", "_mix_copies")
+  }
 }

@@ -66,6 +66,30 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch upsampling emits exactly floor(r/1000) + ring copies, 0-indexed") {
+    // s0 at 2500: 2 copies always, 3 under the fractional ring; s1 at
+    // 1000: exactly 1 copy each; s2 at 400: 0 or 1; s3 at 0: none
+    val rates = Map("s0" -> 2500, "s1" -> 1000, "s2" -> 400, "s3" -> 0)
+    val out = Mixing.mixWithEpochs(corpus(2000), col("id"), col("src"), rates)
+      .select("id", "epoch").as[(Long, Int)].collect()
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for (id <- 0L until 2000L) {
+      val r = rates(s"s${id % 4}")
+      val copies = r / 1000 +
+        (if (Hashing.sha60Jvm(s"mix:$id") % 1000 < r % 1000) 1 else 0)
+      assert(byId.getOrElse(id, Seq.empty) == (0 until copies),
+        s"id $id at rate $r")
+    }
+    // subsumes mixBySource at rates ≤ 1000: same survivors, all epoch 0
+    val plain = Mixing.mixBySource(corpus(2000), col("id"), col("src"),
+        rates.view.mapValues(math.min(_, 1000)).toMap.updated("s0", 1000))
+      .select("id").as[Long].collect().toSet
+    val epochs0 = Mixing.mixWithEpochs(corpus(2000), col("id"), col("src"),
+        rates.view.mapValues(math.min(_, 1000)).toMap.updated("s0", 1000))
+      .select("id").as[Long].collect().toSet
+    assert(plain == epochs0)
+  }
+
   test("per-source survival tracks the requested permille") {
     val rates = Map("s0" -> 800, "s1" -> 400, "s2" -> 200, "s3" -> 50)
     val got = Mixing.mixBySource(corpus(8000), col("id"), col("src"), rates)
