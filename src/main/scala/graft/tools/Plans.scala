@@ -89,6 +89,15 @@ object Plans {
     println("==== cross-doc dup spans (inverted index over longs; no cartesian) ====")
     graft.Queries.queries("q_dup_spans")(spark, dir).explain("formatted")
 
+    println("==== epoch-upsampled source mixing (broadcast rate dim; zero shuffle, explode after join) ====")
+    graft.Queries.queries("q_mix_epochs")(spark, dir).explain("formatted")
+
+    println("==== grouped quantiles (per-group windows; no single-partition stage) ====")
+    graft.Queries.queries("q_group_quantiles")(spark, dir).explain("formatted")
+
+    println("==== canonical dedup pick (ids-only labels + per-cluster argmax window) ====")
+    graft.Queries.queries("q_dedup_canonical")(spark, dir).explain("formatted")
+
     println("==== incremental exact dedup batch-B plan (hash anti-join vs store, no BNLJ) ====")
     locally {
       val store = java.nio.file.Files.createTempDirectory("graft-plans-inc").toString

@@ -376,4 +376,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(keys == Seq("role:assistant", "role:tool", "tool:exec"))
     } finally q.stop()
   }
+
+  test("source mixing composes onto a stream: same survivors as batch") {
+    // the mixer is a stateless broadcast-join + hash filter, so it must
+    // apply to a readStream unchanged and agree with the batch blend per
+    // micro-batch — the incremental-ingest face of corpus blending
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rates = Map("s0" -> 1000, "s1" -> 300, "s2" -> 0)
+    val in = MemoryStream[(Long, String)]
+    val mixed = graft.operators.Mixing.mixBySource(
+      in.toDS().toDF("id", "src"), col("id"), col("src"), rates)
+    val q = mixed.writeStream.format("memory").queryName("mix_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = (0L until 300L).map(i => (i, s"s${i % 3}"))
+      in.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(150): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out").select("id")
+        .as[Long].collect().toSet
+      val batch = graft.operators.Mixing.mixBySource(
+          rows.toDF("id", "src"), col("id"), col("src"), rates)
+        .select("id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.exists(_ % 3 == 1) && !streamed.exists(_ % 3 == 2))
+    } finally q.stop()
+  }
 }
