@@ -19,11 +19,18 @@ import graft.sources.Transcripts
   * additionally refreshed after EVERY query, so even a kill mid-phase
   * loses at most one query's timing. The whole run degrades to fit
   * `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500) and is designed to end
-  * STRICTLY under it: every iteration start is gated on a measured
-  * estimate of its own cost fitting the remaining budget, and the scaling
-  * phase shrinks its synthesized table when the leftover budget cannot
-  * cover full-size legs (the ratio is scale-free, so a smaller table still
-  * evidences the north rule — the JSON records the size actually used).
+  * under it: every iteration start is gated on a measured estimate of its
+  * own cost fitting the remaining budget, the scaling phase's synthesis is
+  * gated on a same-window probe-synthesis extrapolation and shrinks its
+  * table when the leftover budget cannot cover full-size legs (the ratio
+  * is scale-free, so a smaller table still evidences the north rule — the
+  * JSON records the size actually used), legs that cannot fit even the
+  * floor are reported missing rather than started, and warm passes obey
+  * absolute estimates, not just budget fractions. The ONE deliberate
+  * exemption: each query's iteration 0 in part 1 always runs (artifact
+  * completeness — every query must record at least an upper bound), so a
+  * storm that erupts mid-part-1 can overrun by the single-shot tail of
+  * the remaining queries; that trade is the driver contract's, not noise.
   *
   * Two parts:
   *
@@ -296,7 +303,7 @@ object Bench {
     // leftover budget, the synthesized table SHRINKS (the N-vs-4N ratio is
     // scale-free) instead of the run overrunning.
     def scalingJson(turns: Long, legsByCores: Map[Int, Vector[Meas]],
-        maxMeas: Meas, wallNote: String): String = {
+        maxMeas: Meas, maxTurns: Long, wallNote: String): String = {
       def legOf(c: Int): Option[Meas] = {
         val ms = legsByCores.getOrElse(c, Vector.empty).filter(_.iters.nonEmpty)
         if (ms.isEmpty) None else Some(Meas(ms.flatMap(_.iters)))
@@ -304,11 +311,17 @@ object Bench {
       val lo = legOf(loCores); val hi = legOf(hiCores)
       // throughput(hi) / (4 × throughput(lo)) — the turns term cancels
       val eff = for (l <- lo; h <- hi) yield l.gated / (4.0 * h.gated)
-      // clean = both legs saw a quiet window AND the ratio is physically
-      // plausible (sub-linear but not collapsed); anything else is a storm
-      // artifact a consumer must not chart (r5 published 1.853 unflagged)
-      val clean = lo.exists(_.isClean) && hi.exists(_.isClean) &&
-        eff.exists(e => e >= 0.5 && e <= 1.05)
+      // two INDEPENDENT validity facets, published separately so a real
+      // regression is not laundered as noise: legs_clean = both legs saw
+      // a steal-quiet window (measurement validity); plausible = the
+      // ratio is physically sensible for this job (sub-linear but not
+      // collapsed — r5 published 1.853 unflagged). The composite `clean`
+      // (chartable) requires both; a clean-legs sub-0.5 reading surfaces
+      // as legs_clean:true + plausible:false — trustworthy evidence of a
+      // genuine scaling problem, not a storm artifact to discard.
+      val legsClean = lo.exists(_.isClean) && hi.exists(_.isClean)
+      val plausible = eff.exists(e => e >= 0.5 && e <= 1.05)
+      val clean = legsClean && plausible
       def d(o: Option[Double]): String = o.map(v => f"$v%.3f").getOrElse("null")
       def l(o: Option[Long]): String = o.map(_.toString).getOrElse("null")
       f"""{"turns":$turns,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
@@ -318,31 +331,54 @@ object Bench {
         f""""clean_lo":${lo.map(_.cleanIters.size).getOrElse(0)},"clean_hi":${hi.map(_.cleanIters.size).getOrElse(0)},""" +
         f""""rows_per_sec_lo":${l(lo.map(m => (turns / m.gated).toLong))},""" +
         f""""rows_per_sec_hi":${l(hi.map(m => (turns / m.gated).toLong))},""" +
-        f""""efficiency":${d(eff)},"clean":$clean,$wallNote""" +
+        f""""efficiency":${d(eff)},"legs_clean":$legsClean,"plausible":$plausible,"clean":$clean,$wallNote""" +
         f""""budget_sec":$budgetSec,"wall_sec":${(System.nanoTime() - startNanos) / 1e9}%.1f,""" +
-        f""""max_cores":$cpus,"max_cores_turns":$benchTurns,""" +
+        f""""max_cores":$cpus,"max_cores_turns":$maxTurns,""" +
         f""""max_cores_sec":${d(Some(maxMeas).filter(!_.isEmpty).map(_.gated))},""" +
         f""""max_cores_rows_per_sec":${l(Some(maxMeas).filter(!_.isEmpty).map(m => (benchTurns / m.gated).toLong))}}"""
     }
 
     val sessionOverheadSec = 12.0 // local SparkSession spinup + teardown
     var scaleTurns = benchTurns
+    var maxTurns = benchTurns // turns behind the max-cores datapoint
     var maxMeas = MeasEmpty
     val legsByCores = scala.collection.mutable.Map
       .empty[Int, Vector[Meas]].withDefaultValue(Vector.empty)
     var roundsRun = 0
 
-    if (remainingWorkSec > 90) {
-      // full-size table synthesis (timed — its cost scales the shrink math)
-      val tSynth0 = System.nanoTime()
-      Transcripts.synthesize(spark, benchTurns / 50, 50, numPartitions = 64)
+    if (remainingWorkSec > 30) {
+      // PROBE synthesis at 1/64 scale first: it times the generator inside
+      // THIS wall-clock window, so the full-size synthesis below is gated
+      // on a storm-informed estimate instead of a bare constant (a 26×
+      // steal storm turns a ~30s synthesis into many minutes — the one
+      // remaining ungated step of the r5 overrun class). If the full table
+      // does not fit, the legs run on the probe table: the N-vs-4N ratio
+      // is scale-free.
+      val probeTurns = math.max(benchTurns / 64, 50L)
+      val tP0 = System.nanoTime()
+      Transcripts.synthesize(spark, probeTurns / 50, 50, numPartitions = 64)
         .toDF().write.mode("overwrite").parquet(turnsPath)
-      val synthSec = (System.nanoTime() - tSynth0) / 1e9
+      val probeSec = (System.nanoTime() - tP0) / 1e9
+      // synthesis is row-linear with a fixed floor the probe already paid,
+      // so probe×64 is a safe over-estimate of the full-size cost
+      val estFullSynth = probeSec * 64
+      var synthSec = probeSec
+      var fullTable = false
+      if (remainingWorkSec > estFullSynth + 60) {
+        val tSynth0 = System.nanoTime()
+        Transcripts.synthesize(spark, benchTurns / 50, 50, numPartitions = 64)
+          .toDF().write.mode("overwrite").parquet(turnsPath)
+        synthSec = (System.nanoTime() - tSynth0) / 1e9
+        fullTable = true
+      } else scaleTurns = probeTurns
+      if (!fullTable) maxTurns = probeTurns
       // saturation datapoint at all machine cores (warm pass only when the
-      // budget is comfortable — it buys steadiness, not correctness).
-      // firstAlways=false: this datapoint is informative, never worth an
-      // overrun — skipping it also skips the legs (no cost model).
-      if (remainingSec > 0.3 * budgetSec) e2eJob(spark, turnsPath)
+      // budget is comfortable in BOTH relative and absolute terms — it
+      // buys steadiness, not correctness). firstAlways=false: this
+      // datapoint is informative, never worth an overrun — skipping it
+      // also skips the legs (no cost model).
+      if (remainingSec > 0.3 * budgetSec && remainingWorkSec > 35)
+        e2eJob(spark, turnsPath)
       maxMeas = robustMeas(math.max(2, iters - 1), math.max(2, iters - 1) * 3,
         needClean = 3, cores = cpus, deadlineNanos = workDeadline,
         estimateSec = 25.0, firstAlways = false)(e2eJob(spark, turnsPath))
@@ -355,23 +391,30 @@ object Bench {
         // with it, which is exactly when caution is due). 1.6 covers the
         // sub-linear gap between ideal core-ratio scaling and reality.
         def estIter(cores: Int, turns: Long): Double =
-          t32 * (cpus.toDouble / cores) * 1.6 * (turns.toDouble / benchTurns)
+          t32 * (cpus.toDouble / cores) * 1.6 * (turns.toDouble / maxTurns)
         def estRound(turns: Long): Double =
           estIter(hiCores, turns) * 2 + estIter(loCores, turns) * 2 +
             2 * sessionOverheadSec
-        if (remainingWorkSec < estRound(benchTurns)) {
+        if (scaleTurns == benchTurns &&
+            remainingWorkSec < estRound(benchTurns)) {
           // shrink so an estimated full round + a re-synthesis fits; floor
           // at 1/64 of full size (≥62.5k turns — still thousands of tasks'
-          // worth of work per leg, a meaningful ratio)
+          // worth of work per leg, a meaningful ratio). When even the
+          // floor's round cannot fit the leftover budget, the legs are
+          // SKIPPED outright (reported missing) rather than re-synthesized
+          // and started anyway — a negative leg budget is not a small leg.
           val budgetForLegs = remainingWorkSec - synthSec * 0.5 - 5
-          val factor = math.max(1.0 / 64,
-            math.min(1.0, budgetForLegs / estRound(benchTurns)))
-          scaleTurns = math.max(benchTurns / 64, (benchTurns * factor).toLong)
-          if (scaleTurns < benchTurns) {
-            val s = session(cpus)
-            Transcripts.synthesize(s, scaleTurns / 50, 50, numPartitions = 64)
-              .toDF().write.mode("overwrite").parquet(turnsPath)
-            s.stop()
+          if (budgetForLegs < estRound(benchTurns / 64)) scaleTurns = 0L
+          else {
+            val factor = math.max(1.0 / 64,
+              math.min(1.0, budgetForLegs / estRound(benchTurns)))
+            scaleTurns = math.max(benchTurns / 64, (benchTurns * factor).toLong)
+            if (scaleTurns < benchTurns) {
+              val s = session(cpus)
+              Transcripts.synthesize(s, scaleTurns / 50, 50, numPartitions = 64)
+                .toDF().write.mode("overwrite").parquet(turnsPath)
+              s.stop()
+            }
           }
         }
 
@@ -387,14 +430,19 @@ object Bench {
             return MeasEmpty
           val s = session(cores)
           try {
-            if (remainingSec > 0.3 * budgetSec) e2eJob(s, turnsPath) // warm
+            // the warm pass costs ~an iteration too: absolute gate, not
+            // just the relative one (a storm-era warm pass at 0.29×budget
+            // remaining was the last estimate-exempt step)
+            if (remainingSec > 0.3 * budgetSec &&
+              remainingWorkSec > estimate * 2.3 + sessionOverheadSec)
+              e2eJob(s, turnsPath) // warm
             robustMeas(iters, iters * 3, needClean = 3, cores = cores,
               deadlineNanos = workDeadline, estimateSec = estimate,
               firstAlways = false)(e2eJob(s, turnsPath))
           } finally s.stop()
         }
-        var continue = true
-        var lastRoundSec = estRound(scaleTurns)
+        var continue = scaleTurns > 0
+        var lastRoundSec = estRound(math.max(scaleTurns, 1L))
         while (roundsRun < rounds && continue) {
           val r0 = System.nanoTime()
           legsByCores(hiCores) :+= measure(hiCores, estIter(hiCores, scaleTurns))
@@ -421,7 +469,7 @@ object Bench {
     } else spark.stop()
 
     val scaling = scalingJson(scaleTurns, legsByCores.toMap, maxMeas,
-      f""""rounds_run":$roundsRun,""")
+      maxTurns, f""""rounds_run":$roundsRun,""")
     publish(jsonLine(scaling))
     printedFinal = true
   }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,9 +71,11 @@ object Dedup {
     * ([[cleanTmp]]) so a concurrent reader whose plan pinned their file
     * paths (the streaming near-dup stage explicitly shares the store with
     * batch runs, streaming/TranscriptStream.scala) never hits a deleted
-    * file mid-scan — new listings just stop seeing them.
+    * file mid-scan — new listings just stop seeing them. Public because
+    * it IS the reader view: tests and external consumers must share this
+    * predicate rather than re-deriving it.
     */
-  private def listSeen(fs: FileSystem, root: Path): Seq[Path] =
+  def listSeen(fs: FileSystem, root: Path): Seq[Path] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("seen-") &&
@@ -94,10 +98,21 @@ object Dedup {
     */
   private val SrcsManifest = "_srcs"
 
+  /** The manifest is line-delimited, so line-breaking bytes inside a src
+    * value (legal in POSIX file names) are percent-escaped — an unescaped
+    * "a\nb.log" would split into two fragment lines, never match the
+    * retracted set, and make the retraction silently skip the dir.
+    */
+  private def encSrc(s: String): String =
+    s.replace("%", "%25").replace("\n", "%0A").replace("\r", "%0D")
+
+  private def decSrc(s: String): String =
+    s.replace("%0D", "\r").replace("%0A", "\n").replace("%25", "%")
+
   private def writeSrcs(fs: FileSystem, dir: Path, srcs: Seq[String]): Unit = {
     val out = fs.create(new Path(dir, SrcsManifest), true)
-    try out.write(srcs.distinct.sorted.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(srcs.distinct.sorted.map(encSrc).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -107,7 +122,7 @@ object Dedup {
     else {
       val in = fs.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSet)
+        .getLines().filter(_.nonEmpty).map(decSrc).toSet)
       finally in.close()
     }
   }
@@ -124,23 +139,42 @@ object Dedup {
     * back in). A `_lock` file at the store root is the lease: atomic
     * create-no-overwrite to acquire (atomic on HDFS; create-if-absent on
     * the local fs — adequate for the single-host sharing this sandbox
-    * exercises), deleted to release. Stale locks (holder crashed) are
-    * broken after 10 minutes; a waiter that cannot acquire within 2
-    * minutes also breaks the lock — liveness over strictness, because
-    * every mutation is individually crash-safe (worst case under a broken
-    * lock is duplicate surviving rows, which the anti-join/band-join
-    * consumers tolerate; never a hole). Readers never take the lock:
-    * retention-delayed retirement already keeps their pinned files alive.
+    * exercises), deleted to release.
+    *
+    * Ownership and liveness (nothing here may break a LIVE lease — a
+    * broken live lease is exactly the resurrection this lock prevents):
+    *
+    *  - the lock file carries the holder's unique TOKEN, and release
+    *    deletes the lock only while it still holds that token — a waiter
+    *    that (wrongly or rightly) re-took the path is never un-locked by
+    *    the previous holder's `finally`;
+    *  - the holder HEARTBEATS the lock's mtime on a daemon thread every
+    *    [[LockHeartbeatMs]], so "stale" ([[LockStaleMs]] without a touch)
+    *    means a dead holder, not a long Spark job inside the lease;
+    *  - a stale lease is broken ATOMICALLY: rename to a breaker-unique
+    *    name, then delete — exactly one of several concurrent breakers
+    *    wins the rename, so two waiters can never both "free" the path
+    *    and both acquire;
+    *  - a waiter never breaks a live lease; if one is still held past the
+    *    acquire timeout it THROWS rather than proceeding unserialized.
+    *
+    * Readers never take the lock: retention-delayed retirement already
+    * keeps their pinned files alive.
     */
+  private val LockHeartbeatMs = 20L * 1000
+  private val LockStaleMs = 5L * 60 * 1000
+
   private def withStoreLock[T](fs: FileSystem, root: Path)(body: => T): T = {
     fs.mkdirs(root)
     val lock = new Path(root, "_lock")
-    val staleMs = 10L * 60 * 1000
-    val giveUpAt = System.currentTimeMillis() + 2L * 60 * 1000
+    val token = java.util.UUID.randomUUID().toString
+    val giveUpAt = System.currentTimeMillis() + 10L * 60 * 1000
     var acquired = false
     while (!acquired) {
       try {
-        fs.create(lock, false).close()
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
@@ -148,12 +182,47 @@ object Dedup {
             try Some(fs.getFileStatus(lock).getModificationTime)
             catch { case _: java.io.IOException => None }
           val now = System.currentTimeMillis()
-          if (mtime.forall(now - _ > staleMs) || now > giveUpAt)
-            fs.delete(lock, false) // stale or over-waited: break the lease
+          if (mtime.exists(now - _ > LockStaleMs)) {
+            val broken = new Path(root, s"_lock.broken-$token")
+            try { if (fs.rename(lock, broken)) fs.delete(broken, false) }
+            catch { case _: java.io.IOException => () }
+          } else if (now > giveUpAt)
+            throw new IllegalStateException(
+              s"dedup store lock $lock still held live after the acquire " +
+                "timeout; refusing to mutate unserialized")
           else Thread.sleep(200)
       }
     }
-    try body finally fs.delete(lock, false)
+    @volatile var done = false
+    val hb = new Thread(() => {
+      var interrupted = false
+      while (!done && !interrupted) {
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch {
+          case _: java.io.IOException => // fs without setTimes: rewrite
+            try {
+              val out = fs.create(lock, true)
+              try out.write(token.getBytes(StandardCharsets.UTF_8))
+              finally out.close()
+            } catch { case _: java.io.IOException => () }
+        }
+        try Thread.sleep(LockHeartbeatMs)
+        catch { case _: InterruptedException => interrupted = true }
+      }
+    }, "graft-store-lock-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      done = true
+      hb.interrupt()
+      try {
+        val in = fs.open(lock)
+        val cur =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        if (cur == token) fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Sweep crash leftovers and expired retirements: `_tmp-*` dirs are

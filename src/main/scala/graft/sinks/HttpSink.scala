@@ -8,6 +8,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
+
 /** HTTP wire delivery — the reference's remote sink clients re-expressed as
   * a distributed Spark stage with exact per-item accounting:
   *
@@ -125,19 +127,34 @@ object HttpSink {
     * permanent rejection (other 4xx) fails without retry — retrying either
     * would re-deliver rows the remote already accepted or burn attempts on
     * a request that cannot succeed.
+    *
+    * A transport failure (code −1) is AMBIGUOUS: the server may have
+    * committed the write before the response was lost, so a bare re-POST
+    * could double-deliver the batch. Every batch therefore carries a
+    * deterministic idempotency key derived from its content: ClickHouse
+    * gets `insert_deduplication_token` (the server drops a replayed block
+    * with the same token), and each OpenSearch action gets an explicit
+    * `_id` of `<batch-token>-<position>` (a replayed `index` op overwrites
+    * the same document instead of appending a duplicate). The token is
+    * salted with the batch body, so genuinely identical rows in DIFFERENT
+    * batches keep distinct ids — only a replay of the SAME batch collides,
+    * which is the point.
     */
   def postBatch(spec: WireSpec, docs: IndexedSeq[String]): IndexedSeq[Boolean] = {
     if (docs.isEmpty) return IndexedSeq.empty
     val base = spec.url.stripSuffix("/")
+    val batchToken =
+      java.lang.Long.toHexString(Hashing.sha60Jvm(docs.mkString("\n")))
     val (urlStr, body, contentType) = spec.kind match {
       case "clickhouse" =>
         val q = java.net.URLEncoder.encode(
           s"INSERT INTO ${quotedTarget(spec.target)} FORMAT JSONEachRow", "UTF-8")
-        (s"$base/?query=$q", docs.mkString("", "\n", "\n"), "text/plain")
+        (s"$base/?query=$q&insert_deduplication_token=$batchToken",
+          docs.mkString("", "\n", "\n"), "text/plain")
       case _ => // opensearch _bulk: action metadata line + source line
         val sb = new StringBuilder
-        docs.foreach { d =>
-          sb.append(s"""{"index":{"_index":"${jsonEsc(spec.target)}"}}""")
+        docs.zipWithIndex.foreach { case (d, i) =>
+          sb.append(s"""{"index":{"_index":"${jsonEsc(spec.target)}","_id":"$batchToken-$i"}}""")
             .append('\n').append(d).append('\n')
         }
         (s"$base/_bulk", sb.toString, "application/x-ndjson")
@@ -155,7 +172,11 @@ object HttpSink {
         return docs.map(_ => false)
       attempt += 1
       try Thread.sleep(spec.retryBackoffMs * attempt)
-      catch { case _: InterruptedException => return docs.map(_ => false) }
+      catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt() // keep the task cancellable
+          return docs.map(_ => false)
+      }
     }
     docs.map(_ => false) // unreachable
   }

@@ -229,6 +229,29 @@ class DedupSpec extends AnyFunSuite {
     staged.commit()
   }
 
+  test("a src with a newline in its name retracts exactly (manifest escaping)") {
+    // POSIX allows "\n" in file names; the line-delimited _srcs manifest
+    // percent-escapes it, so the retraction matches the manifest entry
+    // instead of silently skipping the dir as disjoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-retract-nl").toString
+    val evil = "a\nb.log"
+    def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (s"$src#$i", t, src) }.toDF("id", "text", "src")
+    Dedup.incrementalExactStaged(batch(evil, Seq("T1 alpha")),
+      "id", "text", dir, srcCol = Some("src")).commit()
+    // the content is suppressed for a replay...
+    val replay = Dedup.incrementalExactStaged(
+      batch("g2", Seq("T1 alpha")), "id", "text", dir, srcCol = Some("src"))
+    assert(replay.fresh.count() == 0L)
+    replay.commit()
+    // ...until the newline-named source is retracted
+    Dedup.retractSources(spark, dir, Seq(evil))
+    val again = Dedup.incrementalExactStaged(
+      batch("g3", Seq("T1 alpha")), "id", "text", dir, srcCol = Some("src"))
+    assert(again.fresh.count() == 1L,
+      "retraction must match the escaped manifest entry")
+  }
+
   test("retired store dirs are swept once the retention window passes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-retract-sweep").toString
     def batch(src: String, texts: Seq[String]) = texts.zipWithIndex
@@ -399,9 +422,7 @@ class DedupSpec extends AnyFunSuite {
     // holds tombstones for up to an hour — boundedness is about what a
     // reader unions, which skips `_retired` dirs
     def seenDirs(): Seq[String] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(store)).toSeq
-        .map(_.getPath).filter(p => p.getName.startsWith("seen-") &&
-          !fs.exists(new org.apache.hadoop.fs.Path(p, "_retired")))
+      Dedup.listSeen(fs, new org.apache.hadoop.fs.Path(store))
         .map(_.getName)
     for (k <- 0 until 8) {
       val b = Seq((k.toLong, (0 until 10).map(j => s"c${k}_$j").mkString(" ")))

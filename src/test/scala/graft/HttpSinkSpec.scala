@@ -209,6 +209,69 @@ class HttpSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("re-POSTs are idempotent: stable _ids and dedup token across attempts") {
+    // a transport-ambiguous failure (the server read the body, the client
+    // never saw the 2xx) is retried with a byte-identical request — the
+    // explicit per-doc _id (opensearch) / insert_deduplication_token
+    // (clickhouse) lets the backend collapse the replay instead of
+    // double-delivering the batch
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        seen.add((ex.getRequestURI.toString, body))
+        if (seen.size == 1) { // fail AFTER the write could have committed
+          ex.sendResponseHeaders(503, -1L); ex.getResponseBody.close()
+        } else {
+          val docs = body.split("\n").filter(_.nonEmpty).grouped(2).map(_.last).toSeq
+          val items = docs.map(_ => """{"index":{"status":201}}""")
+          val resp = s"""{"took":1,"errors":false,"items":[${items.mkString(",")}]}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, resp.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(resp) finally os.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val oks = HttpSink.postBatch(
+        WireSpec("opensearch", url, "idx", maxRetries = 1, retryBackoffMs = 10),
+        IndexedSeq("""{"m":1}""", """{"m":2}"""))
+      assert(oks == IndexedSeq(true, true))
+      assert(seen.size == 2)
+      assert(seen.get(0) == seen.get(1), "replay must be byte-identical")
+      val ids = """"_id":"([0-9a-f]+-\d+)"""".r
+        .findAllMatchIn(seen.get(0)._2).map(_.group(1)).toSeq
+      assert(ids.size == 2 && ids.distinct.size == 2, ids)
+      assert(ids.map(_.takeWhile(_ != '-')).distinct.size == 1, ids)
+    } finally server.stop(0)
+
+    val uris = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val s2 = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s2.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        uris.add(ex.getRequestURI.toString)
+        val code = if (uris.size == 1) 503 else 200
+        ex.sendResponseHeaders(code, -1L); ex.getResponseBody.close()
+      }
+    })
+    s2.start()
+    try {
+      val url = s"http://127.0.0.1:${s2.getAddress.getPort}"
+      val oks = HttpSink.postBatch(
+        WireSpec("clickhouse", url, "db.t", maxRetries = 1, retryBackoffMs = 10),
+        IndexedSeq("""{"m":1}"""))
+      assert(oks == IndexedSeq(true))
+      val toks = (0 until uris.size)
+        .map(i => uris.get(i).split("insert_deduplication_token=")(1))
+      assert(toks.size == 2 && toks.distinct.size == 1, toks)
+    } finally s2.stop(0)
+  }
+
   test("retry is never attempted for a delivered batch or a permanent 4xx") {
     // 2xx with per-item rejections: the response is authoritative — a
     // re-POST would re-deliver the accepted items

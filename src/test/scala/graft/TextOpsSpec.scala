@@ -84,9 +84,7 @@ class TextOpsSpec extends AnyFunSuite {
     // (retention-delayed delete), and readers skip `_retired` dirs —
     // boundedness is about the reader-side union
     def seenDirs(): Seq[String] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(store)).toSeq
-        .map(_.getPath).filter(p => p.getName.startsWith("seen-") &&
-          !fs.exists(new org.apache.hadoop.fs.Path(p, "_retired")))
+      Dedup.listSeen(fs, new org.apache.hadoop.fs.Path(store))
         .map(_.getName)
     for (k <- 0 until 8) {
       val b = Seq((k.toLong, s"content $k")).toDF("doc_id", "text")
