@@ -458,6 +458,26 @@ object Queries {
         .select(col("doc_id"), col("source"))
     }),
 
+    // per-source corpus report (the "data card" face): docs, languages,
+    // token totals and mean quality per source — the composition summary
+    // a mixing recipe is written against. Quality is aggregated in exact
+    // integer MICROS (per-doc scores are r6-rounded rationals, so micros
+    // are exact longs; float SUMS are never hash-comparable cross-engine
+    // because addition order differs) and the mean re-rounds the micro
+    // ratio. One map-side-combined aggregate; 20 rows out.
+    "q_source_report" -> ((s, dir) => {
+      val q = TextAnalysis.quality(documents(s, dir))
+      q.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(floor(col("quality_score") * 1000000 + 0.5)).as("quality_micros"))
+        .withColumn("mean_quality",
+          floor(col("quality_micros") / col("n_docs") + 0.5) / 1000000.0)
+        .select("source", "n_docs", "n_langs", "total_tokens",
+          "quality_micros", "mean_quality")
+    }),
+
     // epoch-upsampled blend: rates above 1000 permille REPEAT a source
     // (srcN at 2000 − 83·N permille: src0 = 2 full epochs, src12 ≈ 1.004,
     // src19 ≈ 0.42 — mixed up- and down-sampling in one recipe); each row
@@ -1570,6 +1590,29 @@ object Queries {
       s"""SELECT doc_id, source FROM documents
          |WHERE ((${sha60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}) % 1000)
          |  < (1000 - 47 * TRY_CAST(substr(source, 4) AS INTEGER))""".stripMargin,
+
+    // per-source report: the q_quality derivation re-run per doc, then
+    // exact integer-micro aggregation and the same micro-ratio mean
+    "q_source_report" -> (langCte +
+      s""", qd AS (
+        |  SELECT doc_id,
+        |    n_tokens,
+        |    CAST(floor((CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+        |      least(1.0, n_tokens / 64.0) * 0.5
+        |      + least(1.0, stopword_ratio * 4) * 0.3
+        |      + (1.0 - least(1.0, punct_ratio * 5)) * 0.2 END) * 1000000 + 0.5) AS BIGINT) AS q_micros
+        |  FROM (
+        |    SELECT doc_id, len(t) AS n_tokens,
+        |      floor((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+        |      floor((CASE WHEN len(t) > 0 THEN CAST(h_en AS DOUBLE) / len(t) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS stopword_ratio
+        |    FROM sc) r)
+        |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(qd.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(qd.q_micros) AS BIGINT) AS quality_micros,
+        |  floor(sum(qd.q_micros) / count(*) + 0.5) / 1000000 AS mean_quality
+        |FROM qd JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin),
 
     // epoch upsampling: same ring, analytic rates (src<N> → 2000 − 83·N),
     // copies = r div 1000 (+1 under the fractional ring), unnested 0-based

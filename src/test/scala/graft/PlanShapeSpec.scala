@@ -132,6 +132,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("source report: distinct-agg two-stage shape, counts-only exchanges") {
+    // count(distinct lang) legally plans as partial-by-(source,lang) →
+    // exchange → merge-by-(source): TWO exchanges, both carrying
+    // map-side-combined counts (≤ |source×lang| rows), never input rows
+    val p = plan("q_source_report")
+    assert(exchanges(p) == 2, s"report grew an exchange:\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("shard order: one exchange on the shard key feeds the rank window") {
     val p = plan("q_shard_order")
     assert(exchanges(p) == 1, s"shard order should shuffle exactly once:\n$p")
