@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{AsOf, Cardinality, Dedup, Enrich, Frequency, Mixing, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Cardinality, Conversations, Dedup, Enrich, Frequency, Mixing, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -540,6 +540,22 @@ object Queries {
           .otherwise(lit(false)))
         .select("doc_id", "shard", "start_tok", "bin_id", "straddles")
     }),
+
+    // conversation structural QC: the gate a transcript must pass before
+    // it becomes a training example (alternation, blank turns, failed tool
+    // calls, loss-masked token yield). One lag window + one aggregate,
+    // both keyed by conv_id — a single exchange end to end.
+    "q_conv_qc" -> ((s, dir) => Conversations.qc(tx(s, dir))),
+
+    // loss-mask span table: per turn, its half-open token span in the
+    // conversation's concatenated sequence and whether it contributes loss
+    // (assistant turns train; user/tool turns are context).
+    "q_loss_spans" -> ((s, dir) => Conversations.lossSpans(tx(s, dir))),
+
+    // token-budget prefix truncation: longest prefix of each conversation
+    // fitting a context budget (monotone cumulative sum ⇒ provably a
+    // prefix); kept rows carry the running total.
+    "q_truncate_budget" -> ((s, dir) => Conversations.truncateToBudget(tx(s, dir), 64L)),
 
     // decontamination with overlap SCORING: per training doc, the fraction
     // of its 8-gram hashes present in the benchmark index — the graded
@@ -1668,6 +1684,58 @@ object Queries {
         |  CASE WHEN n > 0 THEN ((start_tok + n - 1) // 2048) > (start_tok // 2048)
         |       ELSE FALSE END AS straddles
         |FROM c""".stripMargin,
+
+    // conversation QC: same whitespace token rule as q_token_count; the
+    // lag/aggregate pair re-derived independently over the events CTE
+    "q_conv_qc" -> (cte +
+      """, qt AS (
+        |  SELECT conv_id, turn_idx, role, text,
+        |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+        |  FROM transcripts)
+        |SELECT conv_id, count(*) AS n_turns,
+        |  max(CASE WHEN turn_idx = 0 AND role = 'user' THEN 1 ELSE 0 END) = 1 AS starts_with_user,
+        |  CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+        |  CAST(sum(CASE WHEN role = 'tool' AND text LIKE '%status=err%' THEN 1 ELSE 0 END) AS BIGINT) AS n_err_calls,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) AS BIGINT) AS assistant_tokens,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  floor((CASE WHEN sum(n_tok) > 0
+        |    THEN CAST(sum(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) AS DOUBLE) / sum(n_tok)
+        |    ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS trainable_frac
+        |FROM qt GROUP BY 1""".stripMargin),
+
+    // loss spans: exclusive prefix sum per conversation (the
+    // q_pack_sequences window keyed by conv_id)
+    "q_loss_spans" -> (cte +
+      """, t AS (
+        |  SELECT conv_id, turn_idx, role,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+        |  FROM transcripts),
+        |c AS (
+        |  SELECT conv_id, turn_idx, role, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS span_start
+        |  FROM t)
+        |SELECT conv_id, turn_idx, n_tok, span_start,
+        |  span_start + n_tok AS span_end, role = 'assistant' AS trainable
+        |FROM c""".stripMargin),
+
+    // budget truncation: inclusive cumulative sum, filter ≤ 64
+    "q_truncate_budget" -> (cte +
+      """, t AS (
+        |  SELECT conv_id, turn_idx,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+        |  FROM transcripts),
+        |c AS (
+        |  SELECT conv_id, turn_idx, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM t)
+        |SELECT conv_id, turn_idx, n_tok, cum_tok FROM c WHERE cum_tok <= 64""".stripMargin),
 
     "q_decontaminate_score" ->
       s"""WITH corpus AS (

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation-level training-data operators over the transcript table
+  * (conv_id, turn_idx, role, text, tool, ts — BASELINE.json `input_hint`).
+  *
+  * Where the document-side family (TextAnalysis / Dedup) curates a CORPUS,
+  * these curate CONVERSATIONS — the unit an SFT/RL dataloader consumes. All
+  * three are built on the same per-turn whitespace token count the corpus
+  * side uses ([[TextAnalysis.tokenCounts]] / q_token_count), so turn-level
+  * and document-level token accounting cannot drift apart.
+  *
+  * Scale shape (all three operators): ONE exchange on conv_id — the lag /
+  * cumulative-sum windows and the per-conversation aggregate all partition
+  * by the same key, so Catalyst reuses a single hash partitioning end to
+  * end; nothing here adds a second shuffle or a driver funnel. Rows carry
+  * (conv_id, turn_idx, role, n_tok) — token counts, never concatenated
+  * text. Mega-conversation skew: the windows are order-sensitive per
+  * conversation, the exact contract priced in BENCH.md's skew table (the
+  * FSM-pin row); decomposable aggregates can instead route through
+  * [[Salt.twoPhaseOrderedConcat]]'s bucket-partial shape.
+  *
+  * Reference tie-in: the reference accounts delivered/blank lines per file
+  * (internal/tailer/tail_reader.go:272-279, collector counters) — [[qc]]
+  * is that accounting re-aimed at the transcript unit, extended with the
+  * structural checks a training pipeline gates on before a conversation
+  * may enter a training shard.
+  */
+object Conversations {
+
+  /** Whitespace token count of one turn — the exact expression of
+    * [[TextAnalysis.tokenCounts]]'s `ws_tokens` (and its DuckDB oracle
+    * twin in q_token_count): blank-after-trim counts 0.
+    */
+  def nTok(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Per-conversation structural QC report — the gate a conversation must
+    * pass before it becomes a training example:
+    *
+    *  - `n_turns`, `total_tokens`: size accounting;
+    *  - `starts_with_user`: turn 0 carries role `user` (a dataloader that
+    *    prepends a system prompt assumes it);
+    *  - `n_blank`: blank-text turns (the reference's blank-record counter,
+    *    tail_reader.go:272-279, at conversation grain);
+    *  - `n_role_repeats`: adjacent turns with the SAME role — alternation
+    *    violations that break chat-template rendering;
+    *  - `n_err_calls`: tool turns that recorded `status=err` (failed tool
+    *    invocations a curation pass may cap or drop);
+    *  - `assistant_tokens` + `trainable_frac`: the loss-masked token yield
+    *    — conversations that are nearly all context and no completion are
+    *    poor value per sequence slot ([[lossSpans]] is the row-level form).
+    *
+    * One lag window + one aggregate, both keyed by conv_id (single
+    * exchange).
+    */
+  def qc(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val t = transcripts
+      .withColumn("__n_tok", nTok(col("text")).cast("long"))
+      .withColumn("__prev_role", lag(col("role"), 1).over(w))
+    t.groupBy("conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      (max(when(col("turn_idx") === 0 && col("role") === "user", 1)
+        .otherwise(0)) === 1).as("starts_with_user"),
+      sum(when(col("text") === "", 1L).otherwise(0L)).as("n_blank"),
+      sum(when(col("role") === col("__prev_role"), 1L).otherwise(0L))
+        .as("n_role_repeats"),
+      sum(when(col("role") === "tool" && col("text").contains("status=err"), 1L)
+        .otherwise(0L)).as("n_err_calls"),
+      sum(when(col("role") === "assistant", col("__n_tok")).otherwise(0L))
+        .as("assistant_tokens"),
+      sum(col("__n_tok")).as("total_tokens"))
+      .withColumn("trainable_frac",
+        TextAnalysis.r6(when(col("total_tokens") > 0,
+          col("assistant_tokens").cast("double") / col("total_tokens"))
+          .otherwise(lit(0.0))))
+  }
+
+  /** Loss-mask span table — the row-level artifact a dataloader consumes
+    * after concatenating a conversation's turns into one token sequence:
+    * for every turn, its half-open token span [span_start, span_end) in
+    * the concatenation order and whether the span is TRAINABLE (assistant
+    * turns contribute loss; user/tool turns are context). Span starts are
+    * the exclusive prefix sum of per-turn token counts — the same
+    * cumulative-window shape as sequence packing (q_pack_sequences), keyed
+    * by conv_id instead of shard.
+    */
+  def lossSpans(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        nTok(col("text")).cast("long").as("n_tok"))
+      .withColumn("span_start", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("span_end", col("span_start") + col("n_tok"))
+      .withColumn("trainable", col("role") === "assistant")
+      .select("conv_id", "turn_idx", "n_tok", "span_start", "span_end",
+        "trainable")
+  }
+
+  /** Token-budget prefix truncation: keep the longest PREFIX of each
+    * conversation whose cumulative token count stays within `budget` —
+    * the context-window fit pass. Kept rows carry the running total so
+    * the dataloader needs no second pass; a conversation whose first turn
+    * alone exceeds the budget contributes no rows (nothing fits). The
+    * cumulative sum is monotone, so the filter provably keeps a prefix —
+    * no turn after the first overflow can re-enter.
+    */
+  def truncateToBudget(transcripts: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        nTok(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") <= budget)
+      .select("conv_id", "turn_idx", "n_tok", "cum_tok")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Conversations
+
+/** Pins the conversation-level training ops on hand-built transcripts:
+  * QC flag semantics (alternation repeats, blank turns, err tool calls,
+  * trainable fraction), loss-span contiguity/partitioning, and the
+  * budget-truncation prefix property. Exact cross-engine values are
+  * covered by the q_conv_qc / q_loss_spans / q_truncate_budget oracles.
+  */
+class ConversationsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (conv_id, turn_idx, role, text)
+  private def tx(rows: (String, Int, String, String)*) =
+    rows.toDF("conv_id", "turn_idx", "role", "text")
+
+  private val convA = Seq(
+    ("a", 0, "user", "hello there"),             // 2 tok
+    ("a", 1, "assistant", "hi how are you"),     // 4 tok, trainable
+    ("a", 2, "user", ""),                        // blank
+    ("a", 3, "user", "still here"),              // role repeat (user,user)
+    ("a", 4, "tool", "CALL tool=x status=err"),  // err call, 3 tok
+    ("a", 5, "assistant", "done"))               // 1 tok, trainable
+
+  test("qc: flags, counts, and trainable fraction") {
+    val out = Conversations.qc(tx(convA: _*)).collect().head
+    assert(out.getAs[Long]("n_turns") == 6L)
+    assert(out.getAs[Boolean]("starts_with_user"))
+    assert(out.getAs[Long]("n_blank") == 1L)
+    // (2,"")→(3,user) follows (2,user): repeats at turn 3 only? turns 2 and
+    // 3 are both user and turn 2 follows user turn... adjacency: 0u,1a,2u,
+    // 3u,4t,5a → repeats at turn 3 (u after u). Turn 2 follows assistant.
+    assert(out.getAs[Long]("n_role_repeats") == 1L)
+    assert(out.getAs[Long]("n_err_calls") == 1L)
+    assert(out.getAs[Long]("assistant_tokens") == 5L)
+    assert(out.getAs[Long]("total_tokens") == 12L)
+    assert(math.abs(out.getAs[Double]("trainable_frac") - 5.0 / 12.0) < 1e-6)
+  }
+
+  test("qc: conversation not starting with user is flagged") {
+    val out = Conversations.qc(tx(("b", 0, "assistant", "sys"), ("b", 1, "user", "q")))
+      .collect().head
+    assert(!out.getAs[Boolean]("starts_with_user"))
+    assert(out.getAs[Long]("n_role_repeats") == 0L)
+  }
+
+  test("lossSpans: spans are contiguous, partition the total, and mask by role") {
+    val out = Conversations.lossSpans(tx(convA: _*))
+      .orderBy("turn_idx").collect()
+    // contiguity: each span starts where the previous ended
+    out.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getAs[Long]("span_start") == p.getAs[Long]("span_end"))
+    }
+    assert(out.head.getAs[Long]("span_start") == 0L)
+    assert(out.last.getAs[Long]("span_end") == 12L) // = total tokens
+    // blank turn contributes an empty span, not a gap
+    val blank = out(2)
+    assert(blank.getAs[Long]("span_start") == blank.getAs[Long]("span_end"))
+    // role is projected out; assistant turns in the fixture are 1 and 5
+    assert(out.filter(_.getAs[Boolean]("trainable"))
+      .map(_.getAs[Int]("turn_idx")).toSeq == Seq(1, 5))
+  }
+
+  test("truncateToBudget: keeps exactly the longest fitting prefix") {
+    // budget 7: turns 0 (cum 2) + 1 (cum 6) fit; turn 2 blank (cum 6)
+    // fits too; turn 3 (cum 8) overflows and nothing after re-enters
+    val out = Conversations.truncateToBudget(tx(convA: _*), 7L)
+      .orderBy("turn_idx").collect()
+    assert(out.map(_.getAs[Int]("turn_idx")).toSeq == Seq(0, 1, 2))
+    assert(out.last.getAs[Long]("cum_tok") == 6L)
+  }
+
+  test("truncateToBudget: first turn over budget yields no rows") {
+    val out = Conversations.truncateToBudget(
+      tx(("c", 0, "user", "one two three four"), ("c", 1, "assistant", "x")), 3L)
+    assert(out.count() == 0L)
+  }
+
+  test("qc and lossSpans agree on assistant token accounting") {
+    val spans = Conversations.lossSpans(tx(convA: _*))
+      .filter(col("trainable"))
+      .agg(sum(col("span_end") - col("span_start"))).as[Long].head()
+    val qc = Conversations.qc(tx(convA: _*))
+      .select("assistant_tokens").as[Long].head()
+    assert(spans == qc)
+  }
+}
