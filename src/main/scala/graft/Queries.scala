@@ -368,6 +368,31 @@ object Queries {
       Dedup.simhashPairs(nearDupFixture(s, dir), "doc_id", "text", maxHamming = 3)
     }),
 
+    // content-defined chunking: word-grain LBFS/rsync boundaries from a
+    // window-hash mask (native cdc_chunks expression). The fixture plants
+    // prefix-shifted copies — exactly the input fixed-width blocking
+    // fails on — and the chunk hashes realign past the insertion.
+    "q_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(cdcFixture(s, dir), "doc_id", "text", w = 3, d = 8L)),
+
+    // chunk-level dedup accounting: per doc, chunks/tokens duplicated
+    // under keep-first semantics — one shuffle on the 8-byte chunk hash
+    "q_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDedup(cdcFixture(s, dir), "doc_id", "text", w = 3, d = 8L)),
+
+    // cross-source duplication matrix: verified LSH near-dup pairs folded
+    // over the source dimension — which corpora duplicate which, the
+    // data-card facet a mixing recipe down-weights on. Planted copies map
+    // back to their original doc's source.
+    "q_source_dup_matrix" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(nearDupFixture(s, dir), "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+        .withColumn("a", when(col("a") >= 100000, col("a") - 100000).otherwise(col("a")))
+        .withColumn("b", when(col("b") >= 100000, col("b") - 100000).otherwise(col("b")))
+      Dedup.sourceDupMatrix(pairs,
+        documents(s, dir).select(col("doc_id").as("id"), col("source")))
+    }),
+
     // embedding cosine near-dup, LSH-band-blocked (no all-pairs join);
     // planted duplicates guarantee non-trivial pairs at every sf
     "q_emb_neardup" -> ((s, dir) => {
@@ -1035,6 +1060,18 @@ object Queries {
           concat(col("text"), lit(" tail tail")).as("text")))
   }
 
+  /** CDC fixture: the corpus plus prefix-shifted copies of the first 40
+    * docs — the insertion pattern fixed-width blocking cannot dedup and
+    * CDC realigns on. DuckDB twin inside [[cdcCte]] — change BOTH.
+    */
+  private def cdcFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(lit("inserted preamble words "), col("text")).as("text")))
+  }
+
   private val nearDupCte: String =
     """WITH docs2 AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
@@ -1049,6 +1086,32 @@ object Queries {
       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM docs2)
       |  WHERE len(t) >= 3
       |)
+      |""".stripMargin
+
+  /** DuckDB twin of the CDC fixture + [[graft.functions.CdcChunksHelper]]
+    * recipe (w=3, d=8): per-token sha60 mod P, interior boundaries where
+    * the 3-token window fold ≡ 0 mod 8, chunk hash = fold over the chunk.
+    * `list_reduce` seeds with the first element, which equals the
+    * engine's fold from 0 (first step from 0 yields the element).
+    */
+  private val cdcCte: String =
+    """WITH cdc_base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 400000, 'inserted preamble words ' || text FROM documents WHERE doc_id < 40),
+      |cdc_tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM cdc_base),
+      |cdc_hs AS (SELECT doc_id, [('0x' || substr(sha256(x),1,15))::BIGINT % 2147483647 FOR x IN t] AS ht FROM cdc_tk),
+      |cdc_bd AS (
+      |  SELECT doc_id, ht,
+      |    [i FOR i IN range(3, len(ht)) IF
+      |       list_reduce(ht[i-2:i], (a,b) -> (a*8191+b) % 2147483647) % 8 = 0] AS bs
+      |  FROM cdc_hs),
+      |cdc_ch AS (SELECT doc_id, ht, list_prepend(0, bs) AS ss, list_append(bs, len(ht)) AS es FROM cdc_bd),
+      |cdc_ex AS (
+      |  SELECT doc_id, unnest([{'chunk_idx': i-1, 'n_tok': es[i] - ss[i],
+      |     'chunk_hash': list_reduce(ht[ss[i]+1:es[i]], (a,b) -> (a*8191+b) % 2147483647)}
+      |     FOR i IN range(1, len(ss)+1)], recursive := true)
+      |  FROM cdc_ch)
       |""".stripMargin
 
   // ------------------------------------------------------------------ oracle side
@@ -1521,6 +1584,49 @@ object Queries {
          |    CAST(bit_count(xor(l.fp, r.fp)) AS INTEGER) AS dist
          |  FROM blocks l JOIN blocks r ON l.q = r.q AND l.qv = r.qv AND l.id < r.id) p
          |WHERE dist <= 3""".stripMargin),
+
+    "q_cdc_chunks" -> (cdcCte +
+      "SELECT doc_id, chunk_idx, n_tok, chunk_hash FROM cdc_ex"),
+
+    "q_cdc_dedup" -> (cdcCte +
+      """, cdc_rk AS (
+        |  SELECT doc_id, n_tok,
+        |    row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM cdc_ex)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+        |  floor((CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS DOUBLE) / sum(n_tok)) * 1000000 + 0.5) / 1000000 AS dup_frac
+        |FROM cdc_rk GROUP BY 1""".stripMargin),
+
+    // cross-source matrix: the q_dedup_minhash pair derivation kept with
+    // its jaccard, folded over the documents source dimension (planted
+    // +100000 ids map back to their original's source)
+    "q_source_dup_matrix" -> (nearDupCte +
+      s""", hsm AS (SELECT id, hs FROM ${hashedShinglesSql("docs2", 3)} hxm),
+         |sigm AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsm),
+         |bandm AS (SELECT id, b AS band,
+         |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
+         |  FROM sigm, range(4) tm(b)),
+         |vjm AS (SELECT a, b, CAST(inter AS DOUBLE) / (sza + szb - inter) AS j FROM (
+         |    SELECT c.a, c.b, len(list_intersect(da.hs, db.hs)) AS inter,
+         |           len(da.hs) AS sza, len(db.hs) AS szb
+         |    FROM (SELECT DISTINCT l.id AS a, r.id AS b
+         |          FROM bandm l JOIN bandm r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id) c
+         |    JOIN hsm da ON da.id = c.a JOIN hsm db ON db.id = c.b) vm
+         |  WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6),
+         |spm AS (SELECT CASE WHEN a >= 100000 THEN a - 100000 ELSE a END AS oa,
+         |               CASE WHEN b >= 100000 THEN b - 100000 ELSE b END AS ob, j FROM vjm),
+         |sjm AS (SELECT least(sa.source, sb.source) AS src_lo,
+         |               greatest(sa.source, sb.source) AS src_hi,
+         |               CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jm
+         |        FROM spm JOIN documents sa ON sa.doc_id = oa
+         |                 JOIN documents sb ON sb.doc_id = ob)
+         |SELECT src_lo, src_hi, count(*) AS n_pairs,
+         |  CAST(sum(jm) AS BIGINT) AS j_micros,
+         |  floor((CAST(sum(jm) AS DOUBLE) / (count(*) * 1000000.0)) * 1000000 + 0.5) / 1000000 AS mean_jaccard
+         |FROM sjm GROUP BY 1, 2""".stripMargin),
 
     // hyperplane-LSH ANN: sketches from the sha256-derived plane matrix,
     // bucket-join candidates, exact rerank — Similarity.lshKnn verbatim

@@ -652,6 +652,81 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  // ------------------------------------------------------------ content-defined chunking
+
+  /** Content-defined chunk table: (id, chunk_idx, n_tok, chunk_hash), one
+    * row per CDC chunk of each document — the [[graft.functions.CdcChunks]]
+    * boundary rule (window-hash mask, LBFS/rsync discipline) at word
+    * granularity, so boundaries realign across inserted prefixes.
+    *
+    * Scale shape: one native codegen'd expression per row + posexplode —
+    * zero shuffle; downstream dedup shuffles 8-byte chunk hashes, never
+    * chunk text. Expected chunk length ≈ `d` tokens.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, d: Long = 8L): DataFrame = {
+    graft.functions.CdcChunks.register(df.sparkSession)
+    df.select(col(idCol),
+        posexplode(call_function("cdc_chunks", col(textCol), lit(w), lit(d)))
+          .as(Seq("chunk_idx", "__ch")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__ch.n_tok").as("n_tok"), col("__ch.chunk_hash").as("chunk_hash"))
+  }
+
+  /** Chunk-level dedup accounting per document, keep-first semantics: a
+    * chunk is DUP if the same chunk hash already occurred at a smaller
+    * (id, chunk_idx). Returns per doc: chunk/token totals, dup counts, and
+    * the dup token fraction — the shift-robust complement of [[exact]]
+    * (whole-document hashing misses a near-copy with one prepended line;
+    * chunk grain recovers everything after the first realigned boundary).
+    *
+    * Scale shape: ONE shuffle on the 8-byte chunk hash (row_number window
+    * — hash-partitioned, no global sort), then one aggregate back on the
+    * doc id. Rows carry (id, idx, n_tok, hash) integers only.
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, d: Long = 8L): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, w, d)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy(col(idCol), col("chunk_idx"))
+    ch.withColumn("__dup", row_number().over(win) > 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        sum(when(col("__dup"), col("n_tok").cast("long")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("dup_frac", TextAnalysis.r6(
+        col("dup_tokens").cast("double") / col("total_tokens")))
+  }
+
+  /** Cross-source duplication matrix: fold verified near-dup pairs
+    * (a, b, jaccard — e.g. [[minhashLsh]] output) over a (id, source)
+    * dimension into per-source-pair counts — the data-card face of dedup:
+    * WHICH corpora duplicate WHICH (mirror sites, cross-posted content)
+    * is what a mixing recipe needs before down-weighting a source.
+    * Canonically ordered (src_lo ≤ src_hi); jaccard is aggregated in
+    * exact integer micros (float sums are not hash-comparable
+    * cross-engine), mean re-rounds the micro ratio.
+    *
+    * Scale shape: pairs are ids-only; the source dimension broadcasts;
+    * the final aggregate is ≤ |sources|² rows with map-side combine.
+    */
+  def sourceDupMatrix(pairs: DataFrame, srcDim: DataFrame): DataFrame = {
+    val dimA = srcDim.select(col("id").as("a"), col("source").as("src_a"))
+    val dimB = srcDim.select(col("id").as("b"), col("source").as("src_b"))
+    pairs
+      .join(broadcast(dimA), "a")
+      .join(broadcast(dimB), "b")
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"),
+        floor(col("jaccard") * 1000000.0 + 0.5).cast("long").as("__jm"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"), sum("__jm").as("j_micros"))
+      .withColumn("mean_jaccard", TextAnalysis.r6(
+        col("j_micros").cast("double") / (col("n_pairs") * 1000000.0)))
+  }
+
   /** Per-band LSH value: the band's signature rows folded with an affine
     * step mod P. Collisions only ADD candidates, and every candidate is
     * verified with exact Jaccard, so a 31-bit band value is safe.
