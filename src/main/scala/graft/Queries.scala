@@ -582,6 +582,17 @@ object Queries {
     // prefix); kept rows carry the running total.
     "q_truncate_budget" -> ((s, dir) => Conversations.truncateToBudget(tx(s, dir), 64L)),
 
+    // conversation-grain exact dedup: order-sensitive fold of per-turn
+    // (role:text) hashes — whole-conversation copies with different
+    // conv_ids collapse (planted '-copy' clones guarantee hits); document
+    // dedup over flattened turns cannot see this unit
+    "q_conv_dedup" -> ((s, dir) => {
+      val t = tx(s, dir).select("conv_id", "turn_idx", "role", "text")
+      val planted = t.filter(col("conv_id") < "conv-000021")
+        .withColumn("conv_id", concat(col("conv_id"), lit("-copy")))
+      Conversations.dedupExact(t.unionByName(planted))
+    }),
+
     // decontamination with overlap SCORING: per training doc, the fraction
     // of its 8-gram hashes present in the benchmark index — the graded
     // form of q_decontaminate (flagging at a threshold is a filter on
@@ -1828,6 +1839,25 @@ object Queries {
         |SELECT conv_id, turn_idx, n_tok, span_start,
         |  span_start + n_tok AS span_end, role = 'assistant' AS trainable
         |FROM c""".stripMargin),
+
+    // conversation dedup: the identical fold re-derived via DuckDB's
+    // ordered list aggregate + list_reduce (first-element seed ≡ fold
+    // from 0, same argument as the CDC oracle)
+    "q_conv_dedup" -> (cte +
+      s""", convs AS (
+         |  SELECT conv_id, turn_idx, role, text FROM transcripts
+         |  UNION ALL
+         |  SELECT conv_id || '-copy' AS conv_id, turn_idx, role, text
+         |  FROM transcripts WHERE conv_id < 'conv-000021'),
+         |cth AS (SELECT conv_id, turn_idx,
+         |    (${sha60Sql("role || ':' || text")}) % 2147483647 AS h FROM convs),
+         |cfp AS (SELECT conv_id,
+         |    list_reduce(list(h ORDER BY turn_idx), (a,b) -> (a*8191+b) % 2147483647) AS conv_fp,
+         |    CAST(count(*) AS BIGINT) AS n_turns
+         |  FROM cth GROUP BY 1)
+         |SELECT conv_fp, min(conv_id) AS keep_conv, count(*) AS n_copies,
+         |  max(n_turns) AS n_turns
+         |FROM cfp GROUP BY 1""".stripMargin),
 
     // budget truncation: inclusive cumulative sum, filter ≤ 64
     "q_truncate_budget" -> (cte +

@@ -103,6 +103,45 @@ object Conversations {
         "trainable")
   }
 
+  /** Order-sensitive conversation content fingerprint: the polynomial
+    * fold `acc = (acc·8191 + sha60(role ‖ ':' ‖ text) mod P) mod P` over
+    * turns in turn_idx order — two conversations collide iff they carry
+    * the same (role, text) sequence, making this the conversation-grain
+    * twin of document exact dedup (same fold family as
+    * [[graft.functions.CdcChunksHelper]]; DuckDB re-derives it with
+    * `list(h ORDER BY turn_idx)` + `list_reduce`, whose first-element
+    * seed equals the fold from 0).
+    *
+    * Scale shape: ONE shuffle on conv_id carrying (turn_idx, 8-byte hash)
+    * pairs — never turn text; the fold runs inside the aggregate. Returns
+    * (conv_id, conv_fp, n_turns).
+    */
+  def fingerprint(transcripts: DataFrame): DataFrame = {
+    val h = (graft.functions.Hashing.sha60(
+      concat(col("role"), lit(":"), col("text"))) % graft.functions.Hashing.P)
+    transcripts
+      .select(col("conv_id"), struct(col("turn_idx"), h.as("h")).as("__th"))
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list("__th")).as("__ths"))
+      .select(col("conv_id"),
+        aggregate(transform(col("__ths"), t => t.getField("h")), lit(0L),
+          (acc, x) => (acc * 8191L + x) % graft.functions.Hashing.P)
+          .as("conv_fp"),
+        size(col("__ths")).cast("long").as("n_turns"))
+  }
+
+  /** Conversation-grain exact dedup: group [[fingerprint]]s, keep the
+    * lowest conv_id per identical (role, text) turn sequence — the unit a
+    * dataloader consumes is the unit that must be deduplicated; document
+    * dedup over flattened turns misses whole-conversation copies with
+    * different conv_ids. One additional shuffle on the 8-byte fp.
+    */
+  def dedupExact(transcripts: DataFrame): DataFrame =
+    fingerprint(transcripts)
+      .groupBy("conv_fp")
+      .agg(min("conv_id").as("keep_conv"), count(lit(1)).as("n_copies"),
+        max("n_turns").as("n_turns"))
+
   /** Token-budget prefix truncation: keep the longest PREFIX of each
     * conversation whose cumulative token count stays within `budget` —
     * the context-window fit pass. Kept rows carry the running total so

@@ -81,6 +81,35 @@ class ConversationsSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("fingerprint: identical turn sequences collide, reordering does not") {
+    val a = tx(("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"))
+    val b = tx(("b", 0, "user", "hi"), ("b", 1, "assistant", "yo"))
+    val c = tx(("c", 0, "assistant", "yo"), ("c", 1, "user", "hi")) // swapped
+    val fps = Conversations.fingerprint(a.unionByName(b).unionByName(c))
+      .collect().map(r => r.getAs[String]("conv_id") -> r.getAs[Long]("conv_fp"))
+      .toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("fingerprint: role is part of turn identity") {
+    val a = tx(("a", 0, "user", "same words"))
+    val b = tx(("b", 0, "assistant", "same words"))
+    val fps = Conversations.fingerprint(a.unionByName(b))
+      .collect().map(_.getAs[Long]("conv_fp"))
+    assert(fps.distinct.length == 2)
+  }
+
+  test("dedupExact: keeps lowest conv_id, counts copies") {
+    val t = tx(
+      ("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"),
+      ("z", 0, "user", "hi"), ("z", 1, "assistant", "yo"), // copy of a
+      ("m", 0, "user", "different"))
+    val out = Conversations.dedupExact(t).collect()
+      .map(r => r.getAs[String]("keep_conv") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map("a" -> 2L, "m" -> 1L))
+  }
+
   test("qc and lossSpans agree on assistant token accounting") {
     val spans = Conversations.lossSpans(tx(convA: _*))
       .filter(col("trainable"))
