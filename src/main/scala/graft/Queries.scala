@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{AsOf, Cardinality, Conversations, Dedup, Enrich, Frequency, Mixing, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Cardinality, Conversations, Dedup, Drift, Enrich, Frequency, Mixing, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -954,6 +954,41 @@ object Queries {
     // (hashedShinglesSql) through an independent unnest/HAVING derivation.
     "q_dup_spans" -> ((s, dir) =>
       Dedup.crossDocShingleCoverage(documents(s, dir), "doc_id", "text", 8)),
+
+    // winnowing fingerprint coverage (Schleimer et al. SIGMOD'03): the
+    // q_dup_spans detection floor (any shared span ≥ w+k−1 tokens is
+    // caught) at ~2/(w+1) of the inverted-index rows — the index-size
+    // trade the full-shingle index cannot make; native single-pass
+    // winnow_hashes expression, value-set semantics make the paper's min
+    // tie rule moot
+    "q_winnow_fp" -> ((s, dir) =>
+      Dedup.winnowCoverage(documents(s, dir), "doc_id", "text", 4, 4)),
+
+    // corpus drift: total variation distance of each source's token
+    // distribution from the corpus — the exact-arithmetic divergence (KL
+    // needs logs, which are not hash-stable cross-engine); integer
+    // cross-products + closed form for absent words, only the final ratio
+    // is floating point. The oracle derives the same statistic over the
+    // full sources × vocabulary grid — an independent (small-scale-only)
+    // path the engine never materializes.
+    "q_corpus_drift" -> ((s, dir) => Drift.tvdVsCorpus(documents(s, dir))),
+
+    // snapshot diff: corpus-grain added/removed/changed/unchanged between
+    // snapshot A (documents) and a deterministically derived snapshot B
+    // (drop %13, rewrite %7, add 15 new ids) — the open-time fingerprint
+    // reverify decision at corpus grain; the oracle classifies by direct
+    // TEXT comparison while the engine compares 8-byte sha60 hashes, an
+    // independent path to the same statuses
+    "q_snapshot_diff" -> ((s, dir) => {
+      val a = documents(s, dir).select(col("doc_id"), col("text"))
+      val b = a.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      Drift.snapshotDiff(a, b, "doc_id", "text")
+    }),
 
     // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
     // fresh persisted hash store — batch A (even doc_ids) seeds the store,
@@ -2035,6 +2070,72 @@ object Queries {
         |ns AS (SELECT ex.id, count(*) AS n_shared FROM ex JOIN shared USING (h) GROUP BY 1)
         |SELECT hs.id AS doc_id, len(hs.hs) AS n_shingles, ns.n_shared AS n_shared
         |FROM hs JOIN ns ON ns.id = hs.id""".stripMargin,
+
+    // winnowing coverage: identical token sha60 → 4-gram folds (ORDERED,
+    // no distinct — the winnow-specific departure from hashedShinglesSql),
+    // per-window minima via list comprehension, then the same inverted
+    // index / HAVING / join-back derivation as q_dup_spans
+    "q_winnow_fp" ->
+      s"""WITH tokh AS (SELECT doc_id,
+        |    [${sha60Sql("tk")} % ${Hashing.P}
+        |     FOR tk IN regexp_split_to_array(lower(trim(text)), '\\s+')] AS ht
+        |  FROM documents),
+        |kg AS (SELECT doc_id, CAST(len(ht) - 3 AS BIGINT) AS n_kgrams,
+        |    [list_reduce([ht[i + j] FOR j IN range(4)],
+        |       (a, x) -> (a * 8191 + x) % ${Hashing.P})
+        |     FOR i IN range(1, len(ht) - 2)] AS kh
+        |  FROM tokh WHERE len(ht) >= 4),
+        |wn AS (SELECT doc_id, n_kgrams,
+        |    list_distinct([list_min([kh[i + j] FOR j IN range(4)])
+        |                   FOR i IN range(1, len(kh) - 2)]) AS fps
+        |  FROM kg WHERE len(kh) >= 4),
+        |ex AS (SELECT doc_id, unnest(fps) AS f FROM wn),
+        |sh AS (SELECT f FROM ex GROUP BY f HAVING count(*) > 1),
+        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM ex JOIN sh USING (f) GROUP BY 1)
+        |SELECT wn.doc_id, wn.n_kgrams, CAST(len(fps) AS BIGINT) AS n_selected,
+        |  coalesce(ns.n_shared, 0) AS n_shared,
+        |  floor(CAST(len(fps) AS DOUBLE) / n_kgrams * 1000000 + 0.5) / 1000000 AS density
+        |FROM wn LEFT JOIN ns USING (doc_id)""".stripMargin,
+
+    // corpus drift: the same TVD derived over the FULL sources × vocabulary
+    // grid (absent words materialized as c = 0 rows) — the engine never
+    // builds this grid; it uses the present-words join + a closed form for
+    // the complement, so agreement is two derivations meeting
+    "q_corpus_drift" ->
+      s"""WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        |  FROM documents),
+        |sc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |cc AS (SELECT word, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+        |         CAST(count(*) AS BIGINT) AS n_vocab FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM cc),
+        |grid AS (SELECT s.source, c2.word, coalesce(sc.c, 0) AS c, c2.cw
+        |         FROM (SELECT DISTINCT source FROM sc) s CROSS JOIN cc c2
+        |         LEFT JOIN sc ON sc.source = s.source AND sc.word = c2.word),
+        |num AS (SELECT g.source, sum(abs(g.c * t.n_total - g.cw * n.n_s)) AS numer
+        |        FROM grid g JOIN ns n USING (source) CROSS JOIN tot t GROUP BY 1)
+        |SELECT n.source, n.n_s AS n_tokens, n.n_vocab,
+        |  floor(numer / (2.0 * n.n_s * t.n_total) * 1000000 + 0.5) / 1000000 AS tvd
+        |FROM num JOIN ns n USING (source) CROSS JOIN tot t""".stripMargin,
+
+    // snapshot diff: the same derived snapshot B, but statuses classified
+    // by DIRECT text comparison — the engine compares sha60 hashes, an
+    // independent path to the same classification
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
+        |      FROM a WHERE doc_id % 13 <> 0
+        |      UNION ALL
+        |      SELECT doc_id + 600000 AS doc_id, text FROM a WHERE doc_id < 15)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id""".stripMargin,
 
     // cardinality sketch: the same hashed-shingle universe the minhash
     // oracles derive (hashedShinglesSql — per-token sha60 % P + rolling

@@ -630,6 +630,38 @@ object Dedup {
       .join(nShared, "doc_id")
   }
 
+  /** Cross-document duplication coverage over WINNOWING fingerprints
+    * ([[graft.functions.WinnowHashes]], Schleimer et al. SIGMOD'03): per
+    * eligible doc (≥ w+k−1 tokens), its k-gram count, how many fingerprints
+    * winnowing selected, how many of those are shared with another doc, and
+    * the selection density. Same inverted-index shape as
+    * [[crossDocShingleCoverage]] but the index holds only ~2/(w+1) of the
+    * k-gram rows while still guaranteeing detection of any shared span of
+    * w+k−1 tokens — the index-size/detection-floor trade the full-shingle
+    * index cannot make. Per-doc fingerprints are distinct by construction,
+    * so the shared-count per hash equals distinct docs.
+    */
+  def winnowCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    graft.functions.WinnowHashes.register(df.sparkSession)
+    val base = df.select(col(idCol).as("doc_id"),
+        (size(graft.operators.TextAnalysis.tokens(col(textCol))) - lit(k - 1))
+          .cast("long").as("n_kgrams"),
+        call_function("winnow_hashes", col(textCol), lit(k), lit(w)).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val ex = base.select(col("doc_id"), explode(col("fps")).as("f"))
+    val shared = ex.groupBy(col("f")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") > 1).select(col("f"))
+    val nShared = ex.join(shared, "f")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    base.join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kgrams"),
+        size(col("fps")).cast("long").as("n_selected"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        graft.operators.TextAnalysis.r6(
+          size(col("fps")).cast("double") / col("n_kgrams")).as("density"))
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
     * index: explode → self-join on shingle → per-pair intersection counts →
     * |A∩B| / (|A|+|B|−|A∩B|). Pairs are (a < b).

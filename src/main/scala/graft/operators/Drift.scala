@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-distribution drift statistics — the data-card facets that tell a
+  * mixing recipe WHEN to change, next to q_source_report's composition
+  * snapshot (what each source holds) and the duplication matrix (how the
+  * sources overlap).
+  *
+  * Reference role: the corpus-grain analogue of the collector's per-sink
+  * delivered/filtered counters (cmd/freader/metrics/metrics.go:24-70) —
+  * accounting that detects a source changing shape, re-expressed over token
+  * distributions instead of record counts.
+  */
+object Drift {
+
+  /** Total variation distance of each source's token distribution from the
+    * corpus-wide distribution: `TVD(s) = ½ Σ_w |c_s(w)/N_s − C(w)/N|` —
+    * the standard "is this source distributionally unusual" statistic, and
+    * the exact-arithmetic member of the divergence family (KL/JS need
+    * logarithms, whose doubles are not hash-comparable cross-engine).
+    *
+    * Exactness: the sum is computed over INTEGER cross-products,
+    * `Σ_w |c_s(w)·N − C(w)·N_s|`, split into the words the source carries
+    * (a join against corpus counts) plus a closed form for the words it
+    * does not: `N_s·(N − Σ_{w∈s} C(w))`. Only the final ratio touches
+    * floating point (numerator < 2·N_s·N, exact in a double far beyond
+    * these scale factors), then [[TextAnalysis.r6]].
+    *
+    * Scale shape: token counts are two map-side-combined aggregates (one
+    * keyed (source, word), one keyed word); the word-keyed join carries
+    * count rows only — never text; per-source totals are a broadcast-sized
+    * dimension (≤ |sources| rows). NO grid of sources × vocabulary is ever
+    * materialized — that is the oracle's independent (small-scale-only)
+    * derivation. Sizing rule: int64 products need `max(c_s(w))·N < 2^63`;
+    * past ~10^9 corpus tokens route the two products through decimal(38,0).
+    */
+  def tvdVsCorpus(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val sc = tok.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val cc = tok.groupBy("word").agg(count(lit(1)).as("cw"))
+    val ns = sc.groupBy("source").agg(sum("c").as("n_s"),
+      count(lit(1)).as("n_vocab"))
+    val tot = cc.agg(sum("cw").as("n_total"))
+    sc.join(cc, "word")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_tokens"), max("n_vocab").as("n_vocab"),
+        max("n_total").as("n_total"),
+        sum(abs(col("c") * col("n_total") - col("cw") * col("n_s")))
+          .as("num_present"),
+        sum("cw").as("cov"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        TextAnalysis.r6(
+          (col("num_present") + col("n_tokens") * (col("n_total") - col("cov")))
+            / (lit(2.0) * col("n_tokens") * col("n_total"))).as("tvd"))
+  }
+
+  /** Corpus diff between two snapshots by (id, content-hash): per document,
+    * `added` (only in B), `removed` (only in A), `changed` (both, different
+    * sha60), `unchanged` — the corpus-grain twin of the reference's
+    * open-time fingerprint reverify (file_tracker.go decides reprocess vs
+    * resume from exactly this comparison, one file at a time). One shuffle
+    * per side on the id; hashes are 8 bytes, text never crosses the wire.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+        graft.functions.Hashing.sha60(col(textCol)).as(s"h_$tag"))
+    hashed(a, "a").join(hashed(b, "b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_a").isNull, lit("added"))
+          .when(col("h_b").isNull, lit("removed"))
+          .when(col("h_a") =!= col("h_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+}
