@@ -117,6 +117,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("winnow coverage: inverted-index joins stay hash-based, no cartesian") {
+    val p = plan("q_winnow_fp")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("corpus drift: counts-only exchanges, broadcast totals, no grid") {
+    // the word-keyed join carries (source,word,c)×(word,cw) count rows;
+    // per-source totals broadcast; the only nested-loop join is the 1-row
+    // corpus-total crossJoin — a sources×vocab grid would show as a
+    // non-broadcast cartesian and must never appear
+    val p = plan("q_corpus_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("snapshot diff: 8-byte hash join, text never shuffles") {
+    val p = plan("q_snapshot_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange's output must be hash columns, not the text payload
+    val exch = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exch <= 3, s"diff grew exchanges:\n$p")
+    assert(!p.contains("text#") ||
+      !p.split("\n").exists(l => l.contains("Exchange") && l.contains("text#")), p)
+  }
+
   test("source mixing is a zero-shuffle broadcast-dimension filter") {
     val p = plan("q_mix_sources")
     assert(exchanges(p) == 0, s"mixing grew a shuffle:\n$p")
