@@ -945,6 +945,24 @@ object Queries {
         .select(col("g").as("lang"), col("q_permille"), col("n_sample"),
           col("v"))),
 
+    // robust per-source outlier gate: |x − median| > 3·MAD on doc length —
+    // the 50%-breakdown curation filter a mega-doc cannot drag (a mean/
+    // stddev z-score it can); both medians are type-1 order statistics via
+    // the grouped-quantile machinery at rate 1.0, so the surface is
+    // float-free and the oracle re-derives the identical rank spans
+    "q_robust_outliers" -> ((s, dir) =>
+      Quantile.robustOutliers(documents(s, dir), col("source"),
+          col("doc_id"), col("n_chars"), k = 3)
+        .select(col("id").as("doc_id"), col("g").as("source"),
+          col("x").as("n_chars"), col("med"), col("mad"))),
+
+    // vocabulary growth across ordered batches (Heaps'-law accounting):
+    // per batch, token volume, within-batch distinct, FIRST-seen tokens,
+    // cumulative vocabulary — the engine derives first-seen via one
+    // min-batch aggregate on the token; the oracle proves the same counts
+    // through a NOT-EXISTS batch×batch derivation it never runs at scale
+    "q_vocab_growth" -> ((s, dir) => Drift.vocabGrowth(documents(s, dir), 4)),
+
     // cross-document EXACT 8-gram duplication coverage (exact-substring
     // dedup's reporting face, Lee et al. 2022): per doc sharing ≥1 hashed
     // 8-token shingle with another doc, its distinct-shingle count and how
@@ -2058,6 +2076,50 @@ object Queries {
         |FROM sp CROSS JOIN (VALUES (500), (900), (990)) qs(q_permille)
         |WHERE cum >= (q_permille * n_sample + 999) // 1000
         |  AND cum - cnt < (q_permille * n_sample + 999) // 1000""".stripMargin,
+
+    // robust outliers: per-source medians re-derived via the same rank-span
+    // histogram walk as the grouped quantiles (rate 1.0 ⇒ no sample
+    // filter), then the identical MAD pass over absolute deviations
+    "q_robust_outliers" ->
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |h1 AS (SELECT source, x AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+        |s1 AS (SELECT source, v, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM h1),
+        |med AS (SELECT source, v AS med FROM s1
+        |        WHERE cum >= (500 * n + 999) // 1000
+        |          AND cum - cnt < (500 * n + 999) // 1000),
+        |dd AS (SELECT d.doc_id, d.source, d.x, m.med, abs(d.x - m.med) AS adev
+        |       FROM d JOIN med m USING (source)),
+        |h2 AS (SELECT source, adev AS v, CAST(count(*) AS BIGINT) AS cnt FROM dd GROUP BY 1, 2),
+        |s2 AS (SELECT source, v, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM h2),
+        |mad AS (SELECT source, v AS mad FROM s2
+        |        WHERE cum >= (500 * n + 999) // 1000
+        |          AND cum - cnt < (500 * n + 999) // 1000)
+        |SELECT doc_id, source, x AS n_chars, med, mad
+        |FROM dd JOIN mad USING (source) WHERE adev > 3 * mad""".stripMargin,
+
+    // vocabulary growth: per-batch counts replayed, but first-seen tokens
+    // derived INDEPENDENTLY via NOT EXISTS against all earlier batches
+    // (the engine uses a min-batch aggregate — two derivations meeting)
+    "q_vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id % 4 AS batch,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        |  FROM documents),
+        |per AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens,
+        |          CAST(count(DISTINCT word) AS BIGINT) AS n_distinct
+        |        FROM tok GROUP BY 1),
+        |bw AS (SELECT DISTINCT batch, word FROM tok),
+        |nw AS (SELECT b.batch, CAST(count(*) AS BIGINT) AS n_new FROM bw b
+        |       WHERE NOT EXISTS (SELECT 1 FROM bw e
+        |                         WHERE e.word = b.word AND e.batch < b.batch)
+        |       GROUP BY 1)
+        |SELECT per.batch, per.n_tokens, per.n_distinct,
+        |  coalesce(nw.n_new, 0) AS n_new,
+        |  CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY per.batch) AS BIGINT) AS vocab_cum
+        |FROM per LEFT JOIN nw USING (batch)""".stripMargin,
 
     // cross-doc duplication coverage: identical shingle hashes via
     // hashedShinglesSql, then an independent unnest → HAVING count > 1 →

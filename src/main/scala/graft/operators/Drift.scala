@@ -60,6 +60,34 @@ object Drift {
             / (lit(2.0) * col("n_tokens") * col("n_total"))).as("tvd"))
   }
 
+  /** Vocabulary growth curve across ordered corpus batches (the Heaps'-law
+    * face of corpus accounting): per batch, its token volume, within-batch
+    * distinct tokens, tokens FIRST seen in that batch, and the cumulative
+    * vocabulary — the "is new data still bringing new language" signal a
+    * crawl-scheduling loop reads, and the direct empirical input to sizing
+    * the CMS/HLL sketches (q_freq_sketch / q_cardinality_sketch).
+    *
+    * Scale shape: per-batch counts map-side combine; first-seen is ONE
+    * shuffle on the token (min-batch aggregate — never a batch×batch
+    * comparison, which is the oracle's independent NOT-EXISTS derivation);
+    * the cumulative window runs over exactly `nBatches` rows, so its
+    * single-partition stage is bounded by the batch count, not the data.
+    */
+  def vocabGrowth(docs: DataFrame, nBatches: Int): DataFrame = {
+    val tok = docs.select((col("doc_id") % nBatches).as("batch"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val per = tok.groupBy("batch").agg(count(lit(1)).as("n_tokens"),
+      countDistinct(col("word")).as("n_distinct"))
+    val news = tok.groupBy("word").agg(min("batch").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("batch")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per.join(news, Seq("batch"), "left")
+      .select(col("batch"), col("n_tokens"), col("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("vocab_cum", sum("n_new").over(w))
+  }
+
   /** Corpus diff between two snapshots by (id, content-hash): per document,
     * `added` (only in B), `removed` (only in A), `changed` (both, different
     * sha60), `unchanged` — the corpus-grain twin of the reference's

@@ -139,4 +139,37 @@ object Quantile {
       .filter(col("cum") >= col("rk") && col("cum") - col("cnt") < col("rk"))
       .select(col("g"), col("q_permille"), col("n_sample"), col("v"))
   }
+
+  /** Robust per-group outlier gate: flag rows whose value deviates from
+    * the group median by more than `k`× the group MAD (median absolute
+    * deviation) — the curation filter that, unlike mean/stddev z-scores,
+    * a handful of extreme documents cannot drag (median and MAD have 50%
+    * breakdown; one mega-doc shifts a mean arbitrarily but moves an order
+    * statistic by at most one rank).
+    *
+    * Entirely integer order statistics (both medians are TYPE-1 — actual
+    * data values via [[groupedOrderStatQuantiles]] at rate 1.0), so the
+    * whole surface is float-free and exactly re-derivable cross-engine.
+    * Scale shape: two grouped-quantile passes (per-group value histograms,
+    * map-side combined, windows partitioned by group) plus two broadcast-
+    * sized joins (one (g, med|mad) row per group). A zero MAD (over half
+    * the group at one value) flags ANY deviation — the degenerate case is
+    * deterministic, not an error.
+    */
+  def robustOutliers(df: DataFrame, groupCol: Column, keyCol: Column,
+      valueCol: Column, k: Int = 3): DataFrame = {
+    val med = groupedOrderStatQuantiles(df, groupCol, keyCol, valueCol,
+        Seq(500), rate = 1.0)
+      .select(col("g"), col("v").as("med"))
+    val dd = df.select(groupCol.as("g"), keyCol.as("id"),
+        valueCol.cast("long").as("x"))
+      .join(broadcast(med), "g")
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = groupedOrderStatQuantiles(dd, col("g"), col("id"), col("adev"),
+        Seq(500), rate = 1.0)
+      .select(col("g"), col("v").as("mad"))
+    dd.join(broadcast(mad), "g")
+      .filter(col("adev") > lit(k.toLong) * col("mad"))
+      .select(col("id"), col("g"), col("x"), col("med"), col("mad"))
+  }
 }

@@ -47,6 +47,18 @@ class DriftSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("vocabGrowth: first-seen partitions the vocabulary, cumsum is total") {
+    val d = Seq((0L, "a b"), (1L, "b c"), (2L, "a d")).toDF("doc_id", "text")
+    val out = Drift.vocabGrowth(d, nBatches = 2).orderBy("batch").collect()
+    // batch 0 = docs {0,2}: tokens a b a d; batch 1 = doc 1: b c
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 2L))
+    assert(out.map(_.getAs[Long]("n_distinct")).toSeq == Seq(3L, 2L))
+    assert(out.map(_.getAs[Long]("n_new")).toSeq == Seq(3L, 1L)) // c is new
+    assert(out.map(_.getAs[Long]("vocab_cum")).toSeq == Seq(3L, 4L))
+    // n_new partitions the global vocabulary exactly
+    assert(out.map(_.getAs[Long]("n_new")).sum == 4L)
+  }
+
   private val span = "alpha beta gamma delta epsilon zeta eta" // 7 tokens = w+k-1
   private def wdocs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 

@@ -113,4 +113,26 @@ class QuantileSpec extends AnyFunSuite {
       Quantile.sampleByKey(d.filter(col("id") === 17), col("id"), 0.3)
         .count() == 1L)
   }
+
+  test("robustOutliers: flags beyond k*MAD, median/MAD are type-1 values") {
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 12L),
+      ("a", 5L, 100L), // mad=0 within {10,10,10,12,100}? med=10, adevs 0,0,0,2,90 -> mad=0
+      ("b", 6L, 1L), ("b", 7L, 2L), ("b", 8L, 3L)) // med=2, adevs 1,0,1 -> mad=1, none >3
+      .toDF("g", "id", "x")
+    val out = Quantile.robustOutliers(d, col("g"), col("id"), col("x"), k = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("x"), r.getAs[Long]("med"), r.getAs[Long]("mad"))).toMap
+    // group a: med 10, MAD 0 => any deviation flags (ids 4 and 5)
+    assert(out.keySet == Set(4L, 5L))
+    assert(out(5L) == ((100L, 10L, 0L)))
+  }
+
+  test("robustOutliers: a mega-value cannot drag the gate (50% breakdown)") {
+    // mean/stddev would swallow 1000 into the spread; median/MAD do not
+    val d = (1L to 9L).map(i => ("s", i, 50L + i)) :+ (("s", 99L, 1000L))
+    val out = Quantile.robustOutliers(d.toDF("g", "id", "x"),
+      col("g"), col("id"), col("x"), k = 3).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(99L))
+  }
 }
