@@ -1016,6 +1016,22 @@ object Queries {
     // (dedup semantics are batch-order-independent for the planted layout).
     // A fresh store per invocation keeps the query a pure function — bench
     // re-runs must not see the previous run's commits.
+    // BUCKETED-store incremental dedup: the co-located layout — the seen
+    // store is written bucketBy(16, h) once, and the batch anti-join then
+    // reads it with NO store-side Exchange (the 100 TB shape: only the
+    // small batch shuffles, never the 10^11-hash store; plan pinned in
+    // BucketedSpec). Oracle classifies in the TEXT domain (NOT IN) while
+    // the engine joins 8-byte sha60 hashes — independent paths.
+    "q_dedup_bucketed" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val even = d.filter(col("doc_id") % 2 === 0)
+      val b = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(even.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+      graft.operators.Bucketed.writeSeen(even, "text", "graft_seen_bucketed", 16)
+      graft.operators.Bucketed.dedupAgainst(b, "doc_id", "text", "graft_seen_bucketed")
+    }),
+
     "q_dedup_incremental" -> ((s, dir) => {
       val d = documents(s, dir).select(col("doc_id"), col("text"))
       val a = d.filter(col("doc_id") % 2 === 0)
@@ -1563,6 +1579,18 @@ object Queries {
            |         row_number() OVER (PARTITION BY cl.cluster ORDER BY ln.text_len DESC, cl.id) AS rn
            |       FROM cl JOIN ln USING (id))
            |SELECT id AS doc_id, cluster, text_len, (rn = 1) AS keep FROM pk""".stripMargin),
+
+    // bucketed-store dedup: survivors classified in the TEXT domain
+    // (NOT IN against A's texts) — the engine anti-joins 8-byte sha60
+    // hashes against the bucketed table; two independent domains agreeing
+    "q_dedup_bucketed" ->
+      """WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |      UNION ALL
+        |      SELECT doc_id + 400000 AS doc_id, text FROM documents
+        |      WHERE doc_id % 2 = 0 AND doc_id < 40)
+        |SELECT b.doc_id, b.text FROM b
+        |WHERE b.text NOT IN (SELECT text FROM a)""".stripMargin,
 
     // incremental exact dedup: B's survivors = B deduped within itself
     // (lowest id per content), minus any content batch A committed — the
