@@ -195,6 +195,133 @@ object TranscriptStream {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Running per-conversation QC counters — everything
+    * [[graft.operators.Conversations.qc]] reports, carried as integers so
+    * streaming state never holds turn text beyond the out-of-order
+    * parking map.
+    */
+  final case class QcState(lastTurn: Int, lastRole: String, nTurns: Long,
+      nBlank: Long, nRepeats: Long, nErr: Long, astTok: Long, totTok: Long,
+      startsUser: Boolean)
+
+  /** One emitted QC report — column-compatible with the batch
+    * [[graft.operators.Conversations.qc]] row.
+    */
+  final case class QcRow(conv_id: String, n_turns: Long,
+      starts_with_user: Boolean, n_blank: Long, n_role_repeats: Long,
+      n_err_calls: Long, assistant_tokens: Long, total_tokens: Long,
+      trainable_frac: Double)
+
+  /** Streaming conversation QC — the in-motion face of
+    * [[graft.operators.Conversations.qc]]: per-conversation counters
+    * update as contiguous turns drain (the MapState ordered-prefix pattern
+    * of [[SegmentProcessor]]), and the FINAL report emits when the
+    * conversation goes idle for `idleTimeoutMs` — the streaming analogue
+    * of "the conversation is over, gate it now".
+    *
+    * Parity contract (pinned in StreamingSpec): for a conversation fully
+    * delivered before its idle flush, the emitted row equals the batch
+    * qc() row bit-for-bit — token counts replicate the `ws_tokens`
+    * expression on the JVM via UTF8String.trim (exactly Spark's trim) and
+    * regex split, and the trainable fraction applies the same r6 rounding.
+    *
+    * State is ONE QcState of integers per live conversation plus parked
+    * out-of-order turns; a gap that never fills is drained in turn order
+    * by the idle flush (adjacency across the gap matches the batch lag
+    * window, which also only sees PRESENT turns). Emission clears the
+    * conversation's state, so turns arriving after the flush begin a
+    * fresh report — the same at-least-once window as the assembler's A2
+    * flush, degraded loudly rather than parked forever.
+    */
+  def qcStream(turns: Dataset[Turn], idleTimeoutMs: Long): Dataset[QcRow] = {
+    import turns.sparkSession.implicits._
+    turns.groupByKey(_.conv_id)
+      .transformWithState(new QcProcessor(idleTimeoutMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  final class QcProcessor(idleTimeoutMs: Long)
+      extends StatefulProcessor[String, Turn, QcRow] {
+    @transient private var st: ValueState[QcState] = _
+    @transient private var pending: MapState[Int, (String, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[QcState]("qc",
+        Encoders.product[QcState], TTLConfig.NONE)
+      pending = getHandle.getMapState[Int, (String, String)]("qpend",
+        Encoders.scalaInt,
+        Encoders.tuple(Encoders.STRING, Encoders.STRING), TTLConfig.NONE)
+    }
+
+    private def current: QcState =
+      if (st.exists()) st.get()
+      else QcState(-1, null, 0L, 0L, 0L, 0L, 0L, 0L, startsUser = false)
+
+    // the ws_tokens expression on the JVM: UTF8String.trim IS Spark's
+    // trim() (spaces only — NOT java.lang.String.trim, which also eats
+    // control chars), and Pattern.split(limit = -1) is Spark's split()
+    private def nTok(text: String): Long = {
+      val t = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        .trim().toString
+      if (t.isEmpty) 0L
+      else java.util.regex.Pattern.compile("\\s+").split(t, -1).length.toLong
+    }
+
+    private def upd(s: QcState, idx: Int, role: String, text: String): QcState = {
+      val n = nTok(text)
+      QcState(idx, role,
+        s.nTurns + 1L,
+        s.nBlank + (if (text.isEmpty) 1L else 0L),
+        s.nRepeats + (if (s.nTurns > 0L && role == s.lastRole) 1L else 0L),
+        s.nErr + (if (role == "tool" && text.contains("status=err")) 1L else 0L),
+        s.astTok + (if (role == "assistant") n else 0L),
+        s.totTok + n,
+        s.startsUser || (idx == 0 && role == "user"))
+    }
+
+    override def handleInputRows(conv: String, it: Iterator[Turn],
+        timerValues: TimerValues): Iterator[QcRow] = {
+      var cur = current
+      it.foreach { t =>
+        if (t.turn_idx > cur.lastTurn)
+          pending.updateValue(t.turn_idx, (t.role, t.text))
+      }
+      while (pending.containsKey(cur.lastTurn + 1)) {
+        val (role, text) = pending.getValue(cur.lastTurn + 1)
+        pending.removeKey(cur.lastTurn + 1)
+        cur = upd(cur, cur.lastTurn + 1, role, text)
+      }
+      st.update(cur)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs()
+        + idleTimeoutMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(conv: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[QcRow] = {
+      var cur = current
+      // drain gap-stranded turns in turn order — batch qc's lag window
+      // also only sees present turns, so adjacency across the gap agrees
+      pending.keys().toArray.sorted.foreach { k =>
+        val (role, text) = pending.getValue(k)
+        pending.removeKey(k)
+        cur = upd(cur, k, role, text)
+      }
+      st.clear()
+      pending.clear()
+      if (cur.nTurns == 0L) Iterator.empty
+      else {
+        val frac =
+          if (cur.totTok > 0L)
+            math.floor(cur.astTok.toDouble / cur.totTok * 1000000.0 + 0.5) / 1000000.0
+          else 0.0
+        Iterator.single(QcRow(conv, cur.nTurns, cur.startsUser, cur.nBlank,
+          cur.nRepeats, cur.nErr, cur.astTok, cur.totTok, frac))
+      }
+    }
+  }
+
   /** Per-conversation FSM as a StatefulProcessor: state = open buffer +
     * record cursor (SegState) + a turn_idx-keyed pending map for
     * out-of-order arrivals; one idle timer per key when `idleTimeoutMs`

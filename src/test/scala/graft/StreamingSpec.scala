@@ -404,4 +404,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.exists(_ % 3 == 1) && !streamed.exists(_ % 3 == 2))
     } finally q.stop()
   }
+
+  test("streaming conversation QC equals batch qc after the idle flush") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(conv: String, idx: Int, role: String, text: String): Turn =
+      Turn(conv, idx, role, text, "",
+        new Timestamp(1700000000000L + idx * 60000L))
+    // c1: well-formed but delivered OUT OF ORDER across two batches,
+    // with a blank turn; c2: starts with assistant, adjacent tool turns
+    // (one alternation violation), one failed tool call
+    val all = Seq(
+      t("c1", 0, "user", "hi there"), t("c1", 1, "assistant", "hello world ok"),
+      t("c1", 2, "user", ""), t("c1", 3, "assistant", "bye"),
+      t("c2", 0, "assistant", "x y"), t("c2", 1, "tool", "status=err boom"),
+      t("c2", 2, "tool", "fine"))
+    val in = MemoryStream[Turn]
+    val q = TranscriptStream.qcStream(in.toDS(), idleTimeoutMs = 300L)
+      .writeStream.format("memory").queryName("qc_out")
+      .outputMode(OutputMode.Append).start()
+    def asTuples(df: org.apache.spark.sql.DataFrame)
+        : Set[(String, Long, Boolean, Long, Long, Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toSet
+    def poll(atLeast: Int)
+        : Set[(String, Long, Boolean, Long, Long, Long, Long, Long, Double)] = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var rows = Set.empty[(String, Long, Boolean, Long, Long, Long, Long, Long, Double)]
+      while (rows.size < atLeast && System.nanoTime() < deadline) {
+        rows = asTuples(spark.table("qc_out"))
+        if (rows.size < atLeast) Thread.sleep(100L)
+      }
+      rows
+    }
+    try {
+      // later turns first: they must park in state, then drain in order
+      in.addData(all.filter(x => x.conv_id == "c1" && x.turn_idx >= 2): _*)
+      in.addData(all.filterNot(x => x.conv_id == "c1" && x.turn_idx >= 2): _*)
+      val streamed = poll(2)
+      val batch = asTuples(graft.operators.Conversations.qc(all.toDF())
+        .select("conv_id", "n_turns", "starts_with_user", "n_blank",
+          "n_role_repeats", "n_err_calls", "assistant_tokens",
+          "total_tokens", "trainable_frac"))
+      assert(streamed == batch)
+      // spot-check the fixture actually exercises the gates
+      val c2 = streamed.find(_._1 == "c2").get
+      assert(!c2._3 && c2._5 == 1L && c2._6 == 1L)
+    } finally q.stop()
+  }
 }
