@@ -593,6 +593,30 @@ object Queries {
       Conversations.dedupExact(t.unionByName(planted))
     }),
 
+    // conversation-grain NEAR-dup: the banded minhash-LSH family applied
+    // at the dataloader unit — turns concatenated in turn order, then the
+    // EXACT q_dedup_minhash pipeline (pure composition: no new operator);
+    // planted '-nd' clones (two extra tokens on turn 0 for the first ten
+    // conversations, exact copies for the rest) guarantee pairs at every sf
+    "q_conv_neardup" -> ((s, dir) => {
+      val t0 = tx(s, dir).select(col("conv_id"), col("turn_idx"), col("text"))
+      val clones = t0.filter(col("conv_id") < "conv-000021")
+        .select(concat(col("conv_id"), lit("-nd")).as("conv_id"),
+          col("turn_idx"),
+          when(col("conv_id") < "conv-000010" && col("turn_idx") === 0,
+            concat(col("text"), lit(" zz yy"))).otherwise(col("text"))
+            .as("text"))
+      val conv = t0.unionByName(clones)
+        .select(col("conv_id"), struct(col("turn_idx"), col("text")).as("tt"))
+        .groupBy("conv_id").agg(sort_array(collect_list("tt")).as("tts"))
+        .select(col("conv_id").as("doc_id"),
+          concat_ws("\n", transform(col("tts"), t => t.getField("text")))
+            .as("text"))
+      Dedup.minhashLsh(conv, "doc_id", "text", n = 3, bands = 4,
+          rowsPerBand = 2, threshold = 0.6)
+        .select(col("a"), col("b"), TextAnalysis.r6(col("jaccard")).as("jaccard"))
+    }),
+
     // decontamination with overlap SCORING: per training doc, the fraction
     // of its 8-gram hashes present in the benchmark index — the graded
     // form of q_decontaminate (flagging at a threshold is a filter on
@@ -1939,6 +1963,33 @@ object Queries {
          |SELECT conv_fp, min(conv_id) AS keep_conv, count(*) AS n_copies,
          |  max(n_turns) AS n_turns
          |FROM cfp GROUP BY 1""".stripMargin),
+
+    // conversation near-dup: the q_dedup_minhash oracle chain verbatim,
+    // applied to the concatenated-conversation relation (string_agg in
+    // turn order ≡ the engine's sorted concat_ws)
+    "q_conv_neardup" -> (cte +
+      s""", t0 AS (SELECT conv_id, turn_idx, text FROM transcripts),
+         |tall AS (SELECT conv_id, turn_idx, text FROM t0
+         |  UNION ALL
+         |  SELECT conv_id || '-nd' AS conv_id, turn_idx,
+         |    CASE WHEN conv_id < 'conv-000010' AND turn_idx = 0
+         |         THEN text || ' zz yy' ELSE text END AS text
+         |  FROM t0 WHERE conv_id < 'conv-000021'),
+         |convd AS (SELECT conv_id AS doc_id,
+         |    string_agg(text, chr(10) ORDER BY turn_idx) AS text
+         |  FROM tall GROUP BY 1),
+         |hsh AS (SELECT id, hs FROM ${hashedShinglesSql("convd", 3)} hx),
+         |sigs AS (SELECT id, [list_min([${Hashing.mixSql("h", "i")} FOR h IN hs]) FOR i IN range(8)] AS sig FROM hsh),
+         |bands AS (SELECT id, b AS band,
+         |    ((sig[2 * b + 1] * 8191 + sig[2 * b + 2]) % 2147483647) AS bhash
+         |  FROM sigs, range(4) t(b)),
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         |         FROM bands l JOIN bands r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id)
+         |SELECT a, b, floor((CAST(inter AS DOUBLE) / (sza + szb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard FROM (
+         |  SELECT c.a, c.b, len(list_intersect(da.hs, db.hs)) AS inter,
+         |         len(da.hs) AS sza, len(db.hs) AS szb
+         |  FROM cand c JOIN hsh da ON da.id = c.a JOIN hsh db ON db.id = c.b) v
+         |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6""".stripMargin),
 
     // budget truncation: inclusive cumulative sum, filter ≤ 64
     "q_truncate_budget" -> (cte +
