@@ -432,6 +432,58 @@ object Queries {
         k = 5, nCentroids = 8, nProbe = 4, iters = 2)
     }),
 
+    // ANN recall accounting: each approximate method's top-5 scored
+    // against the brute-force top-5 — recall@k, the eval artifact an ANN
+    // deployment is judged by; the brute side is 3 query rows so the
+    // membership join broadcasts
+    "q_knn_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 3)
+      val brute = Similarity.bruteForceKnn(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__in"))
+      def tag(m: String, df: DataFrame): DataFrame =
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      val ap = tag("lsh", Similarity.lshKnn(e, q, "vec_id", "embedding",
+          k = 5, bands = 24, planesPerBand = 4))
+        .unionByName(tag("ivf", Similarity.ivfKnn(e, q, "vec_id", "embedding",
+          k = 5, nCentroids = 8, nProbe = 4)))
+        .unionByName(tag("ivf_kmeans", Similarity.ivfKnnKmeans(e, q,
+          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 4, iters = 2)))
+      ap.join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("method", "query_id")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("__in"), lit(0))).cast("long").as("n_hit"))
+        .select(col("method"), col("query_id"), col("n_returned"), col("n_hit"),
+          TextAnalysis.r6(col("n_hit").cast("double") / 5.0).as("recall_at_5"))
+    }),
+
+    // packing efficiency report: q_pack_sequences aggregated per shard —
+    // bins = ceil(total/2048) because the cumsum layout is gap-free; the
+    // dataloader-facing waste accounting (fill_frac) a budget choice is
+    // evaluated by
+    "q_pack_report" -> ((s, dir) => {
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      TextAnalysis.tokenCounts(documents(s, dir))
+        .select(col("doc_id"), (col("doc_id") % 16).cast("int").as("shard"),
+          col("bpe_est_tokens").cast("long").as("n"))
+        .withColumn("start_tok", coalesce(sum("n").over(w), lit(0L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          sum(when(col("n") > 0 &&
+              floor((col("start_tok") + col("n") - 1) / budget) >
+                floor(col("start_tok") / budget), 1L).otherwise(0L))
+            .as("n_straddles"))
+        .withColumn("n_bins", expr(s"(n_tokens + ${budget - 1}) div $budget"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bins"),
+          col("n_straddles"),
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise(TextAnalysis.r6(col("n_tokens").cast("double")
+              / (col("n_bins") * lit(budget.toDouble)))).as("fill_frac"))
+    }),
+
     // language ID (stopword-hit heuristic)
     "q_lang_id" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"), col("lang"),
@@ -1261,6 +1313,62 @@ object Queries {
     * The rounding is what makes an iterative float fit hash-stable across
     * engines — see kmeansFit's scaladoc.
     */
+  /** The three fixed-parameter ANN oracles as defs so q_knn_recall can
+    * embed the SAME SQL its per-method siblings verify (subquery reuse —
+    * the recall oracle cannot drift from the per-method ones).
+    */
+  private def knnBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    floor((list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) * 1000000 + 0.5) / 1000000 AS cosine
+      |  FROM q, e c WHERE q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored) s WHERE rank <= 5""".stripMargin
+
+  private def knnLshSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+       |${lshSketchCte("e", bands = 24, ppb = 4, dims = 64)},
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sk q JOIN sk c ON q.band = c.band AND q.skv = c.skv AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 3),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    floor((list_dot_product(qn.v, cn.v) / (qn.nv * cn.nv)) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM cand JOIN n qn ON qn.vec_id = query_id JOIN n cn ON cn.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) s WHERE rank <= 5""".stripMargin
+
+  private def knnIvfSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+      |cents AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM n ORDER BY vec_id LIMIT 8),
+      |ca AS (
+      |  SELECT vec_id AS neighbor_id, v AS nbv, nv AS nbn, cid FROM (
+      |    SELECT n.vec_id, n.v, n.nv, c.cid,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+      |    FROM n, cents c) x WHERE r = 1),
+      |qa AS (
+      |  SELECT vec_id AS query_id, v AS qv, nv AS qn, cid FROM (
+      |    SELECT n.vec_id, n.v, n.nv, c.cid,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+      |    FROM n, cents c WHERE n.vec_id < 3) x WHERE r <= 4),
+      |cand AS (
+      |  SELECT DISTINCT query_id, neighbor_id, qv, qn, nbv, nbn
+      |  FROM qa JOIN ca USING (cid) WHERE query_id <> neighbor_id),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  floor((list_dot_product(qv, nbv) / (qn * nbn)) * 1000000 + 0.5) / 1000000 AS cosine
+      |  FROM cand)
+      |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored) s WHERE rank <= 5""".stripMargin
+
   private def ivfKmeansOracle(kCent: Int, dims: Int, iters: Int,
       nProbe: Int, topK: Int): String = {
     val steps = (0 until iters).map { i =>
@@ -1746,19 +1854,7 @@ object Queries {
 
     // hyperplane-LSH ANN: sketches from the sha256-derived plane matrix,
     // bucket-join candidates, exact rerank — Similarity.lshKnn verbatim
-    "q_knn_lsh" ->
-      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
-          |${lshSketchCte("e", bands = 24, ppb = 4, dims = 64)},
-          |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-          |  FROM sk q JOIN sk c ON q.band = c.band AND q.skv = c.skv AND q.vec_id <> c.vec_id
-          |  WHERE q.vec_id < 3),
-          |scored AS (SELECT query_id, neighbor_id,
-          |    floor((list_dot_product(qn.v, cn.v) / (qn.nv * cn.nv)) * 1000000 + 0.5) / 1000000 AS cosine
-          |  FROM cand JOIN n qn ON qn.vec_id = query_id JOIN n cn ON cn.vec_id = neighbor_id)
-          |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-          |  FROM scored) s WHERE rank <= 5""".stripMargin),
+    "q_knn_lsh" -> knnLshSql,
 
     // embedding near-dup: LSH-band blocking + exact cosine verify —
     // Dedup.embeddingNearDup verbatim (12 bands × 6 planes)
@@ -1773,46 +1869,64 @@ object Queries {
           |FROM cand JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
           |WHERE list_dot_product(na.v, nb.v) / (na.nv * nb.nv) >= 0.9""".stripMargin),
 
-    "q_knn_brute" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 3),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    floor((list_dot_product(q.v, c.v) /
-        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) * 1000000 + 0.5) / 1000000 AS cosine
-        |  FROM q, e c WHERE q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored) s WHERE rank <= 5""".stripMargin,
+    "q_knn_brute" -> knnBruteSql,
 
-    "q_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
-        |cents AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM n ORDER BY vec_id LIMIT 8),
-        |ca AS (
-        |  SELECT vec_id AS neighbor_id, v AS nbv, nv AS nbn, cid FROM (
-        |    SELECT n.vec_id, n.v, n.nv, c.cid,
-        |      row_number() OVER (PARTITION BY n.vec_id
-        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
-        |    FROM n, cents c) x WHERE r = 1),
-        |qa AS (
-        |  SELECT vec_id AS query_id, v AS qv, nv AS qn, cid FROM (
-        |    SELECT n.vec_id, n.v, n.nv, c.cid,
-        |      row_number() OVER (PARTITION BY n.vec_id
-        |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
-        |    FROM n, cents c WHERE n.vec_id < 3) x WHERE r <= 4),
-        |cand AS (
-        |  SELECT DISTINCT query_id, neighbor_id, qv, qn, nbv, nbn
-        |  FROM qa JOIN ca USING (cid) WHERE query_id <> neighbor_id),
-        |scored AS (SELECT query_id, neighbor_id,
-        |  floor((list_dot_product(qv, nbv) / (qn * nbn)) * 1000000 + 0.5) / 1000000 AS cosine
-        |  FROM cand)
-        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored) s WHERE rank <= 5""".stripMargin,
+    "q_knn_ivf" -> knnIvfSql,
 
     "q_knn_ivf_kmeans" -> ivfKmeansOracle(kCent = 8, dims = 64, iters = 2,
       nProbe = 4, topK = 5),
+
+    // ANN recall accounting: every approximate variant's top-5 joined
+    // against the brute-force top-5 — the eval artifact an ANN deployment
+    // is judged by; each leg's SQL is the (already-verified) per-method
+    // oracle embedded as a subquery, so the recall oracle cannot drift
+    // from the per-method ones
+    "q_knn_recall" ->
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql) zb),
+         |ap AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($knnLshSql) z1
+         |  UNION ALL
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($knnIvfSql) z2
+         |  UNION ALL
+         |  SELECT 'ivf_kmeans' AS method, query_id, neighbor_id
+         |  FROM (${ivfKmeansOracle(kCent = 8, dims = 64, iters = 2, nProbe = 4, topK = 5)}) z3),
+         |mk AS (SELECT method, ap.query_id,
+         |         CASE WHEN b.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |       FROM ap LEFT JOIN brute b
+         |         ON b.query_id = ap.query_id AND b.neighbor_id = ap.neighbor_id)
+         |SELECT method, query_id, CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  floor(sum(hit) / 5.0 * 1000000 + 0.5) / 1000000 AS recall_at_5
+         |FROM mk GROUP BY 1, 2""".stripMargin,
+
+    // packing efficiency report: the q_pack_sequences derivation
+    // aggregated per shard — bins = ceil(total/2048) because the cumsum
+    // layout is gap-free by construction
+    "q_pack_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+        |    CAST(greatest(
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |      CAST(ceil(length(text) / 4.0) AS INTEGER)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t),
+        |s AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN n > 0
+        |              AND ((start_tok + n - 1) // 2048) > (start_tok // 2048)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
+        |      FROM c GROUP BY 1)
+        |SELECT shard, n_docs, n_tokens,
+        |  (n_tokens + 2047) // 2048 AS n_bins, n_straddles,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE floor(n_tokens / (((n_tokens + 2047) // 2048) * 2048.0)
+        |              * 1000000 + 0.5) / 1000000 END AS fill_frac
+        |FROM s""".stripMargin,
 
     "q_sample_split" ->
       s"""SELECT doc_id,
