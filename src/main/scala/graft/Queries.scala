@@ -1084,14 +1084,6 @@ object Queries {
       Drift.snapshotDiff(a, b, "doc_id", "text")
     }),
 
-    // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
-    // fresh persisted hash store — batch A (even doc_ids) seeds the store,
-    // batch B (odd doc_ids + planted cross-batch copies of A content +
-    // planted within-batch dups) is deduped against it; the result is B's
-    // survivors. The oracle derives the same set analytically from A ∪ B
-    // (dedup semantics are batch-order-independent for the planted layout).
-    // A fresh store per invocation keeps the query a pure function — bench
-    // re-runs must not see the previous run's commits.
     // BUCKETED-store incremental dedup: the co-located layout — the seen
     // store is written bucketBy(16, h) once, and the batch anti-join then
     // reads it with NO store-side Exchange (the 100 TB shape: only the
@@ -1108,6 +1100,14 @@ object Queries {
       graft.operators.Bucketed.dedupAgainst(b, "doc_id", "text", "graft_seen_bucketed")
     }),
 
+    // INCREMENTAL exact dedup, end to end: a two-batch campaign against a
+    // fresh persisted hash store — batch A (even doc_ids) seeds the store,
+    // batch B (odd doc_ids + planted cross-batch copies of A content +
+    // planted within-batch dups) is deduped against it; the result is B's
+    // survivors. The oracle derives the same set analytically from A ∪ B
+    // (dedup semantics are batch-order-independent for the planted layout).
+    // A fresh store per invocation keeps the query a pure function — bench
+    // re-runs must not see the previous run's commits.
     "q_dedup_incremental" -> ((s, dir) => {
       val d = documents(s, dir).select(col("doc_id"), col("text"))
       val a = d.filter(col("doc_id") % 2 === 0)

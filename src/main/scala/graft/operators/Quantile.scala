@@ -60,7 +60,10 @@ object Quantile {
     * shuffle, no state.
     */
   def sampleByKey(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
-    df.filter(
+    // rate 1.0 admits every row (sha60 < 2^60 always) — short-circuit so
+    // exact-mode callers (robustOutliers) don't pay a per-row sha256
+    if (rate >= 1.0) df
+    else df.filter(
       Hashing.sha60(concat(lit("qs:"), keyCol.cast("string"))) <
         lit(threshold(rate)))
 

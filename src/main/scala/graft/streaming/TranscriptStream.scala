@@ -18,6 +18,11 @@ import graft.operators.{Parse, Route, Segments}
   */
 object TranscriptStream {
 
+  /** Hoisted once — per-turn Pattern.compile in the QC drain would double
+    * the per-record cost for short texts (the WinnowHashesHelper pattern).
+    */
+  private val qcWs = java.util.regex.Pattern.compile("\\s+")
+
   /** Per-conversation streaming FSM state: the open buffer + next record
     * idx + the cursor. `seedIdx` records where a seed-started conversation
     * began (-1 = started strictly at turn 0), so later arrivals BELOW the
@@ -263,17 +268,20 @@ object TranscriptStream {
     private def nTok(text: String): Long = {
       val t = org.apache.spark.unsafe.types.UTF8String.fromString(text)
         .trim().toString
-      if (t.isEmpty) 0L
-      else java.util.regex.Pattern.compile("\\s+").split(t, -1).length.toLong
+      if (t.isEmpty) 0L else TranscriptStream.qcWs.split(t, -1).length.toLong
     }
 
+    // null text mirrors batch qc's null-predicate semantics: the turn
+    // counts, contributes 0 tokens, and is neither blank nor an err call
+    // (SQL null conditions are not true) — a null must not kill the query
     private def upd(s: QcState, idx: Int, role: String, text: String): QcState = {
-      val n = nTok(text)
+      val n = if (text == null) 0L else nTok(text)
       QcState(idx, role,
         s.nTurns + 1L,
-        s.nBlank + (if (text.isEmpty) 1L else 0L),
+        s.nBlank + (if (text != null && text.isEmpty) 1L else 0L),
         s.nRepeats + (if (s.nTurns > 0L && role == s.lastRole) 1L else 0L),
-        s.nErr + (if (role == "tool" && text.contains("status=err")) 1L else 0L),
+        s.nErr + (if (role == "tool" && text != null &&
+          text.contains("status=err")) 1L else 0L),
         s.astTok + (if (role == "assistant") n else 0L),
         s.totTok + n,
         s.startsUser || (idx == 0 && role == "user"))

@@ -51,6 +51,10 @@ class BucketedSpec extends AnyFunSuite {
   }
 
   test("point probe prunes to a single bucket") {
+    // writes its own table — no coupling to the other tests' stores
+    val rows = spark.range(0, 64)
+      .select(col("id").as("doc_id"), concat(lit("p"), col("id")).as("text"))
+    Bucketed.writeSeen(rows, "text", "graft_spec_probe", 8)
     // a bare scan+filter has no distribution requirement, so Spark's
     // DisableUnnecessaryBucketedScan turns the bucketed read off by
     // default; a point-probe workload re-enables it to get pruning
@@ -58,8 +62,8 @@ class BucketedSpec extends AnyFunSuite {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")
     try {
-      val h = graft.functions.Hashing.sha60Jvm("t7")
-      val p = spark.table("graft_spec_plan").filter(col("h") === h)
+      val h = graft.functions.Hashing.sha60Jvm("p7")
+      val p = spark.table("graft_spec_probe").filter(col("h") === h)
         .queryExecution.executedPlan.toString
       assert(p.contains("SelectedBucketsCount: 1 out of 8"), p)
     } finally spark.conf.set(key, prev)

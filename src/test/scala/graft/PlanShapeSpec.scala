@@ -136,13 +136,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("snapshot diff: 8-byte hash join, text never shuffles") {
-    val p = plan("q_snapshot_diff")
-    assert(!p.contains("CartesianProduct"), p)
-    // every exchange's output must be hash columns, not the text payload
-    val exch = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exch <= 3, s"diff grew exchanges:\n$p")
-    assert(!p.contains("text#") ||
-      !p.split("\n").exists(l => l.contains("Exchange") && l.contains("text#")), p)
+    // structural pin: inspect every shuffle's OUTPUT attributes — hashing
+    // must happen below the exchange, so no shuffled row carries `text`.
+    // AQE's root node hides exchanges from collect() until execution (and
+    // its inputPlan predates EnsureRequirements), so plan without AQE
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val ep =
+      try SparkEntry.queries("q_snapshot_diff")(spark, dir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(!ep.toString.contains("CartesianProduct"), ep.toString)
+    val shuffles = ep.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, ep.toString)
+    shuffles.foreach { e =>
+      assert(e.output.forall(_.name != "text"),
+        s"a shuffle carries the text payload:\n$e")
+    }
   }
 
   test("source mixing is a zero-shuffle broadcast-dimension filter") {

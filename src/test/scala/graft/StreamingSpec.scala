@@ -419,7 +419,11 @@ class StreamingSpec extends AnyFunSuite {
       t("c2", 0, "assistant", "x y"), t("c2", 1, "tool", "status=err boom"),
       t("c2", 2, "tool", "fine"))
     val in = MemoryStream[Turn]
-    val q = TranscriptStream.qcStream(in.toDS(), idleTimeoutMs = 300L)
+    // 3s idle window: long enough that the two back-to-back addData
+    // batches land before the timer under this microVM's steal stalls
+    // (a premature flush would split c1 into two partial reports), short
+    // enough that the poll below converges quickly
+    val q = TranscriptStream.qcStream(in.toDS(), idleTimeoutMs = 3000L)
       .writeStream.format("memory").queryName("qc_out")
       .outputMode(OutputMode.Append).start()
     def asTuples(df: org.apache.spark.sql.DataFrame)
