@@ -645,6 +645,17 @@ object Queries {
       Conversations.dedupExact(t.unionByName(planted))
     }),
 
+    // SALTED conversation fingerprint: the mega-conversation-safe
+    // two-phase fold — per-8-turn-bucket partial folds merged with the
+    // pow_mod composition law fp(A‖B) = fp(A)·8191^|B| + fp(B) mod P;
+    // the oracle re-derives every value through the PLAIN single fold, so
+    // a hash match PROVES the composition (not just replays it). Width 8
+    // forces every conversation through multiple buckets at all sf.
+    "q_conv_fp_salted" -> ((s, dir) =>
+      Conversations.fingerprintSalted(
+        tx(s, dir).select("conv_id", "turn_idx", "role", "text"),
+        bucketWidth = 8)),
+
     // conversation-grain NEAR-dup: the banded minhash-LSH family applied
     // at the dataloader unit — turns concatenated in turn order, then the
     // EXACT q_dedup_minhash pipeline (pure composition: no new operator);
@@ -2058,6 +2069,17 @@ object Queries {
         |SELECT conv_id, turn_idx, n_tok, span_start,
         |  span_start + n_tok AS span_end, role = 'assistant' AS trainable
         |FROM c""".stripMargin),
+
+    // salted fingerprint: the PLAIN single ordered fold — the engine runs
+    // the bucketed two-phase pow_mod composition, so agreement proves the
+    // composition law rather than replaying the same computation
+    "q_conv_fp_salted" -> (cte +
+      s""", cth AS (SELECT conv_id, turn_idx,
+         |    (${sha60Sql("role || ':' || text")}) % 2147483647 AS h FROM transcripts)
+         |SELECT conv_id,
+         |  list_reduce(list(h ORDER BY turn_idx), (a,b) -> (a*8191+b) % 2147483647) AS conv_fp,
+         |  CAST(count(*) AS BIGINT) AS n_turns
+         |FROM cth GROUP BY 1""".stripMargin),
 
     // conversation dedup: the identical fold re-derived via DuckDB's
     // ordered list aggregate + list_reduce (first-element seed ≡ fold

@@ -130,6 +130,52 @@ object Conversations {
         size(col("__ths")).cast("long").as("n_turns"))
   }
 
+  /** Mega-conversation-safe [[fingerprint]]: the polynomial fold COMPOSES —
+    * `fp(A ‖ B) = fp(A)·8191^|B| + fp(B) (mod P)` — so a conversation is
+    * split into contiguous `bucketWidth`-turn ranges, each range folds
+    * independently under a (conv_id, bucket) key, and the per-bucket
+    * partials merge with [[graft.functions.PowMod]] (square-and-multiply,
+    * exact below P² < 2^62). Identical output to [[fingerprint]] by
+    * construction — pinned by spec AND by the q_conv_fp_salted oracle,
+    * which re-derives the value through the PLAIN fold.
+    *
+    * Why: [[fingerprint]]'s one shuffle keys on conv_id, so a 10M-turn
+    * mega conversation lands on ONE task (the skew mode BENCH.md's skew
+    * table prices for the FSM). Here the heavy shuffle keys on
+    * (conv_id, bucket) — the hot conversation spreads over
+    * ceil(n/bucketWidth) tasks — and the second shuffle carries one
+    * (bucket fp, length) pair per RANGE, ≤ a few thousand rows for even
+    * a 10M-turn conversation.
+    */
+  def fingerprintSalted(transcripts: DataFrame,
+      bucketWidth: Int = 4096): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    graft.functions.PowMod.register(transcripts.sparkSession)
+    val P = graft.functions.Hashing.P
+    val h = (graft.functions.Hashing.sha60(
+      concat(col("role"), lit(":"), col("text"))) % P)
+    val parts = transcripts
+      .select(col("conv_id"),
+        (col("turn_idx").cast("long") / bucketWidth).cast("long").as("bkt"),
+        struct(col("turn_idx"), h.as("h")).as("__th"))
+      .groupBy("conv_id", "bkt")
+      .agg(sort_array(collect_list("__th")).as("__ths"))
+      .select(col("conv_id"), col("bkt"),
+        aggregate(transform(col("__ths"), t => t.getField("h")), lit(0L),
+          (acc, x) => (acc * 8191L + x) % P).as("fp_b"),
+        size(col("__ths")).cast("long").as("n_b"))
+    parts
+      .select(col("conv_id"), struct(col("bkt"), col("fp_b"), col("n_b")).as("__p"))
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list("__p")).as("__ps"))
+      .select(col("conv_id"),
+        aggregate(col("__ps"), lit(0L),
+          (acc, p) => (acc * call_function("pow_mod", lit(8191L),
+            p.getField("n_b")) + p.getField("fp_b")) % P).as("conv_fp"),
+        aggregate(transform(col("__ps"), p => p.getField("n_b")), lit(0L),
+          (acc, x) => acc + x).as("n_turns"))
+  }
+
   /** Conversation-grain exact dedup: group [[fingerprint]]s, keep the
     * lowest conv_id per identical (role, text) turn sequence — the unit a
     * dataloader consumes is the unit that must be deduplicated; document

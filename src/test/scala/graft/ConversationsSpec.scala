@@ -100,6 +100,43 @@ class ConversationsSpec extends AnyFunSuite {
     assert(fps.distinct.length == 2)
   }
 
+  test("fingerprintSalted equals fingerprint for every bucket width") {
+    val t = tx(
+      ("a", 0, "user", "one two"), ("a", 1, "assistant", "three"),
+      ("a", 2, "user", "four five six"), ("a", 3, "assistant", "seven"),
+      ("a", 4, "tool", "status=ok"), ("b", 0, "user", "solo"))
+    val plain = Conversations.fingerprint(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (w <- Seq(1, 2, 3, 5, 100)) {
+      val salted = Conversations.fingerprintSalted(t, bucketWidth = w)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(salted == plain, s"width $w diverged")
+    }
+  }
+
+  test("fingerprintSalted: a mega-conversation folds identically") {
+    val mega = (0 until 5000).map(i =>
+      ("mega", i, if (i % 2 == 0) "user" else "assistant", s"turn $i words"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val plain = Conversations.fingerprint(mega).head()
+    val salted = Conversations.fingerprintSalted(mega, bucketWidth = 64).head()
+    assert(salted.getAs[Long]("conv_fp") == plain.getAs[Long]("conv_fp"))
+    assert(salted.getAs[Long]("n_turns") == 5000L)
+  }
+
+  test("pow_mod: square-and-multiply identities") {
+    import graft.functions.{Hashing, PowModHelper}
+    assert(PowModHelper.eval(2L, 10L) == 1024L)
+    assert(PowModHelper.eval(8191L, 0L) == 1L)
+    assert(PowModHelper.eval(12345L, 1L) == 12345L)
+    // fermat: a^(P-1) = 1 mod P for prime P, a not divisible by P
+    assert(PowModHelper.eval(8191L, Hashing.P - 1L) == 1L)
+    // composition: 8191^(a+b) = 8191^a * 8191^b mod P
+    val x = PowModHelper.eval(8191L, 123L)
+    val y = PowModHelper.eval(8191L, 456L)
+    assert(PowModHelper.eval(8191L, 579L) == x * y % Hashing.P)
+  }
+
   test("dedupExact: keeps lowest conv_id, counts copies") {
     val t = tx(
       ("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"),
