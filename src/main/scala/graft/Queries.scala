@@ -484,6 +484,15 @@ object Queries {
               / (col("n_bins") * lit(budget.toDouble)))).as("fill_frac"))
     }),
 
+    // BM25 lexical retrieval (Robertson–Zaragoza; the Lucene default):
+    // top-10 docs for a 3-term query — the search face next to the ANN
+    // family; every float step shares its operation order with the
+    // oracle, and the only data-dependent float sum is the per-doc fold
+    // over ≤3 term scores in alphabetical term order
+    "q_bm25_search" -> ((s, dir) =>
+      graft.operators.Search.bm25(documents(s, dir),
+        Seq("table", "join", "window"), k1 = 1.2, b = 0.75, topK = 10)),
+
     // language ID (stopword-hit heuristic)
     "q_lang_id" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"), col("lang"),
@@ -2347,6 +2356,33 @@ object Queries {
         |ns AS (SELECT ex.id, count(*) AS n_shared FROM ex JOIN shared USING (h) GROUP BY 1)
         |SELECT hs.id AS doc_id, len(hs.hs) AS n_shingles, ns.n_shared AS n_shared
         |FROM hs JOIN ns ON ns.id = hs.id""".stripMargin,
+
+    // BM25: the identical scoring arithmetic in the identical operation
+    // order (left-assoc, shared literals, ln both sides — the HLL-oracle
+    // precedent), per-doc sum as an ordered list fold so float addition
+    // order is deterministic; ranking on the RAW double, r6 on output
+    "q_bm25_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |qt AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |       WHERE word IN ('table', 'join', 'window') GROUP BY 1, 2),
+        |dfs AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+        |        WHERE word IN ('table', 'join', 'window') GROUP BY 1),
+        |dls AS (SELECT doc_id,
+        |          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+        |        FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls),
+        |sc AS (SELECT qt.doc_id, qt.word,
+        |    ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |      * ((qt.tf * 2.2) / (qt.tf + 1.2 * (0.25 + 0.75 * dls.dl / st.avgdl))) AS tscore
+        |  FROM qt JOIN dfs USING (word) JOIN dls ON dls.doc_id = qt.doc_id CROSS JOIN st),
+        |ag AS (SELECT doc_id,
+        |         list_reduce(list(tscore ORDER BY word), (a, x) -> a + x) AS score_raw
+        |       FROM sc GROUP BY 1)
+        |SELECT doc_id, floor(score_raw * 1000000 + 0.5) / 1000000 AS score
+        |FROM ag ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin,
 
     // winnowing coverage: identical token sha60 → 4-gram folds (ORDERED,
     // no distinct — the winnow-specific departure from hashedShinglesSql),

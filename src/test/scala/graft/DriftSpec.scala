@@ -84,6 +84,31 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getAs[Double]("density") > 0.0 && r.getAs[Double]("density") <= 1.0)
   }
 
+  test("bm25: more occurrences of a rarer term rank higher") {
+    val d = Seq(
+      (1L, "alpha alpha alpha beta filler filler filler filler"),
+      (2L, "alpha beta filler filler filler filler filler filler"),
+      (3L, "beta filler filler filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Search.bm25(d, Seq("alpha", "beta"), topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+    // doc 4 has neither term: absent; tf ordering: 1 > 2 > 3
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+    assert(out.forall(_._2 > 0.0))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val d = Seq(
+      (1L, "term one two three"),
+      (2L, "term one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Search.bm25(d, Seq("term"), topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+  }
+
   test("winnow fingerprints are position-robust: prefix shift keeps overlap") {
     val long = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14 k15 k16"
     val d = wdocs((1L, long), (2L, "zz yy xx ww vv " + long))
