@@ -59,6 +59,11 @@ object ConfigLoader {
     "collector.dedup.retract-on-invalidate",
     "collector.sketch.cms-depth", "collector.sketch.cms-width",
     "collector.sketch.hll-p", "collector.sketch.expected-distinct",
+    "collector.curation.quantile-rate", "collector.curation.outlier-k",
+    "collector.curation.winnow-k", "collector.curation.winnow-w",
+    "collector.curation.cdc-window", "collector.curation.cdc-divisor",
+    "collector.curation.bm25-k1", "collector.curation.bm25-b",
+    "collector.curation.conv-bucket-width",
     "sink.batch-size", "sink.batch-interval", "sink.retries",
     "prometheus.enable", "prometheus.addr")
 
@@ -74,7 +79,10 @@ object ConfigLoader {
     "collector.dedup.ngram", "collector.dedup.bands",
     "collector.dedup.rows-per-band",
     "collector.sketch.cms-depth", "collector.sketch.cms-width",
-    "collector.sketch.hll-p", "collector.sketch.expected-distinct")
+    "collector.sketch.hll-p", "collector.sketch.expected-distinct",
+    "collector.curation.outlier-k", "collector.curation.winnow-k",
+    "collector.curation.winnow-w", "collector.curation.cdc-window",
+    "collector.curation.cdc-divisor", "collector.curation.conv-bucket-width")
 
   val sinkKinds: Set[String] =
     Set("console", "file", "clickhouse", "opensearch", "parquet")
@@ -210,6 +218,7 @@ object ConfigLoader {
       ml <- multiline(lk)
       dd <- dedupStage(lk)
       sk <- sketchSpec(lk)
+      cu <- curationSpec(lk)
       sinks <- sinkRules(kvs, lk)
       labels <- Right(kvs.collect {
         case (k, S(v)) if k.startsWith("sink.labels.") =>
@@ -230,6 +239,7 @@ object ConfigLoader {
       labels = labels,
       dedup = dd,
       sketch = sk,
+      curation = cu,
       prometheusAddr = promAddr,
       batchSize = batch._1,
       batchIntervalMs = batch._2,
@@ -272,6 +282,27 @@ object ConfigLoader {
       p <- lk.int("collector.sketch.hll-p", 8)
       n <- lk.long("collector.sketch.expected-distinct", -1L)
     } yield Some(graft.model.SketchSpec(d, w, p, if (n < 0) None else Some(n)))
+  }
+
+  /** The `[collector.curation]` sub-section — parameters for the
+    * curation-analytics operators (engine extension, no reference
+    * analogue). Range rules live in [[graft.model.CurationSpec.validate]],
+    * reached via PipelineConfig.validate; this just unmarshals.
+    */
+  private def curationSpec(lk: Lookup): Either[String, Option[graft.model.CurationSpec]] = {
+    val present = lk.map.keys.exists(_.startsWith("collector.curation."))
+    if (!present) return Right(None)
+    for {
+      qr <- lk.dbl("collector.curation.quantile-rate", 0.25)
+      ok <- lk.int("collector.curation.outlier-k", 3)
+      wk <- lk.int("collector.curation.winnow-k", 4)
+      ww <- lk.int("collector.curation.winnow-w", 4)
+      cw <- lk.int("collector.curation.cdc-window", 3)
+      cd <- lk.long("collector.curation.cdc-divisor", 4L)
+      k1 <- lk.dbl("collector.curation.bm25-k1", 1.2)
+      b <- lk.dbl("collector.curation.bm25-b", 0.75)
+      bw <- lk.int("collector.curation.conv-bucket-width", 4096)
+    } yield Some(graft.model.CurationSpec(qr, ok, wk, ww, cw, cd, k1, b, bw))
   }
 
   /** poll-interval > 0 and workers >= 1 when set — validated for parity;

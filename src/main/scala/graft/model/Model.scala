@@ -196,6 +196,16 @@ final case class PipelineConfig(
       * a 100 TB vocabulary — see [[SketchSpec.validate]]).
       */
     sketch: Option[SketchSpec] = None,
+    /** Optional parameter surface for the curation-analytics operators
+      * ([[graft.operators.Quantile]] sampling + MAD gate,
+      * [[graft.operators.Dedup]] winnowing/CDC knobs,
+      * [[graft.operators.Search]] BM25,
+      * [[graft.operators.Conversations]] salted-fingerprint bucketing) —
+      * engine-side extension; the operators take parameters, this is
+      * where a campaign pins them once with range validation
+      * ([[CurationSpec.validate]]).
+      */
+    curation: Option[CurationSpec] = None,
     /** `/metrics` endpoint address when `prometheus.enable` is set
       * (cmd/freader/main.go:69-84; prometheus.addr required by the
       * validation matrix, config.go:227-229). None ⇒ no endpoint.
@@ -269,7 +279,8 @@ final case class PipelineConfig(
     else {
       val dv = dedup.map(_.validate().map(_ => ())).getOrElse(Right(()))
       val sv = sketch.map(_.validate().map(_ => ())).getOrElse(Right(()))
-      dv.flatMap(_ => sv).map(_ => this)
+      val cv = curation.map(_.validate().map(_ => ())).getOrElse(Right(()))
+      dv.flatMap(_ => sv).flatMap(_ => cv).map(_ => this)
     }
 }
 
@@ -309,6 +320,53 @@ final case class SketchSpec(
           "size cms-width >= expected-distinct / 64")
       case _ => Right(this)
     }
+}
+
+/** Parameters of the curation-analytics operators
+  * ([[PipelineConfig.curation]]), each with its sizing rule:
+  *
+  *  - `quantileRate`: hash-sample rate for the quantile sketch — by DKW,
+  *    m sampled rows bound the CDF error by ε ≈ √(ln(2/δ)/2m); pick
+  *    rate = m/N for the N at hand (rate 1.0 = exact order statistics,
+  *    and the sampling predicate short-circuits away).
+  *  - `outlierK`: the MAD multiplier of the robust gate (3 ≈ the classic
+  *    "3 sigma" under normality, where MAD·1.4826 ≈ σ).
+  *  - `winnowK`/`winnowW`: detection floor is any shared span of
+  *    `w + k − 1` tokens; expected index density 2/(w+1) of the full
+  *    k-gram index — larger w = smaller index, longer guaranteed span.
+  *  - `cdcWindow`/`cdcDivisor`: boundary when the window hash ≡ 0 mod
+  *    divisor ⇒ expected chunk length ≈ divisor tokens.
+  *  - `bm25K1`/`bm25B`: Robertson–Zaragoza saturation / length
+  *    normalization (Lucene defaults 1.2 / 0.75).
+  *  - `convBucketWidth`: salted-fingerprint range width — a conversation
+  *    spreads over ceil(turns/width) tasks; width 4096 keeps per-bucket
+  *    arrays comfortably in task memory while a 10M-turn conversation
+  *    still fans out over ~2400 tasks.
+  */
+final case class CurationSpec(
+    quantileRate: Double = 0.25,
+    outlierK: Int = 3,
+    winnowK: Int = 4,
+    winnowW: Int = 4,
+    cdcWindow: Int = 3,
+    cdcDivisor: Long = 4L,
+    bm25K1: Double = 1.2,
+    bm25B: Double = 0.75,
+    convBucketWidth: Int = 4096) {
+  def validate(): Either[String, CurationSpec] =
+    if (quantileRate <= 0.0 || quantileRate > 1.0)
+      Left("curation quantile-rate must be in (0, 1]")
+    else if (outlierK < 1) Left("curation outlier-k must be >= 1")
+    else if (winnowK < 1) Left("curation winnow-k must be >= 1")
+    else if (winnowW < 1) Left("curation winnow-w must be >= 1")
+    else if (cdcWindow < 1) Left("curation cdc-window must be >= 1")
+    else if (cdcDivisor < 2) Left("curation cdc-divisor must be >= 2")
+    else if (!(bm25K1 > 0.0)) Left("curation bm25-k1 must be > 0")
+    else if (bm25B < 0.0 || bm25B > 1.0)
+      Left("curation bm25-b must be in [0, 1]")
+    else if (convBucketWidth < 1)
+      Left("curation conv-bucket-width must be >= 1")
+    else Right(this)
 }
 
 /** Configuration of the optional incremental dedup stage

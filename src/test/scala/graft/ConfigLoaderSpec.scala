@@ -103,6 +103,48 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.include == Seq("*.log")) // file survives where not overridden
   }
 
+  test("curation section: parsed, defaulted, and range-validated") {
+    val cfg = loadText(
+      """[collector.curation]
+        |quantile-rate = 0.1
+        |outlier-k = 4
+        |winnow-k = 5
+        |winnow-w = 8
+        |cdc-window = 4
+        |cdc-divisor = 16
+        |bm25-k1 = 1.5
+        |bm25-b = 0.5
+        |conv-bucket-width = 1024
+        |""".stripMargin).toOption.get
+    assert(cfg.curation.contains(graft.model.CurationSpec(
+      0.1, 4, 5, 8, 4, 16L, 1.5, 0.5, 1024)))
+
+    // partial section fills defaults; absent section stays None
+    val part = loadText("[collector.curation]\noutlier-k = 2\n").toOption.get
+    assert(part.curation.contains(
+      graft.model.CurationSpec(0.25, 2, 4, 4, 3, 4L, 1.2, 0.75, 4096)))
+    assert(loadText("[collector]\nseparator = \"\\n\"\n")
+      .toOption.get.curation.isEmpty)
+
+    // range checks delegate to CurationSpec.validate
+    assert(loadText("[collector.curation]\nquantile-rate = 0.0\n")
+      .swap.toOption.get.contains("quantile-rate"))
+    assert(loadText("[collector.curation]\nquantile-rate = 1.5\n")
+      .swap.toOption.get.contains("quantile-rate"))
+    assert(loadText("[collector.curation]\ncdc-divisor = 1\n")
+      .swap.toOption.get.contains("cdc-divisor"))
+    assert(loadText("[collector.curation]\nbm25-b = 1.25\n")
+      .swap.toOption.get.contains("bm25-b"))
+    // NaN through an env override is rejected at the lookup layer
+    assert(ConfigLoader.load(None,
+      Map("GRAFT_COLLECTOR_CURATION_BM25_K1" -> "NaN"), Map.empty)
+      .swap.toOption.get.contains("bm25-k1"))
+    // env override reaches the typed field
+    val env = ConfigLoader.load(None,
+      Map("GRAFT_COLLECTOR_CURATION_OUTLIER_K" -> "5"), Map.empty).toOption.get
+    assert(env.curation.exists(_.outlierK == 5))
+  }
+
   test("sketch section: parsed, defaulted, and saturation-validated") {
     val cfg = loadText(
       """[collector.sketch]
