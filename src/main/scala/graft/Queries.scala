@@ -594,6 +594,29 @@ object Queries {
         .select("doc_id", "shard", "pos")
     }),
 
+    // shard MANIFEST — the publish-integrity artifact next to
+    // q_shard_order: per shard, doc/token counts and an order-sensitive
+    // content fingerprint (polynomial fold of per-doc sha60 in the
+    // shard's training order), so a dataloader can validate both WHAT it
+    // received and the ORDER it replays — the corpus-grain analogue of
+    // the reference's per-file fingerprint identity. One exchange on the
+    // shard key; the fold runs inside the aggregate over 8-byte hashes.
+    "q_shard_manifest" -> ((s, dir) => {
+      val hs = Hashing.sha60(concat(lit("shard:"), col("doc_id").cast("string")))
+      val ho = Hashing.sha60(concat(lit("ord:"), col("doc_id").cast("string")))
+      val ht = Hashing.sha60(col("text")) % Hashing.P
+      documents(s, dir)
+        .select((hs % 16).cast("int").as("shard"),
+          struct(ho.as("ho"), col("doc_id"), ht.as("h")).as("__e"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sort_array(collect_list("__e")).as("__es"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          aggregate(transform(col("__es"), e => e.getField("h")), lit(0L),
+            (a, x) => (a * 8191L + x) % Hashing.P).as("content_fp"))
+    }),
+
     // benchmark decontamination: flag corpus docs sharing any 8-gram with
     // the benchmark set (doc_id % 97 == 0 plays the benchmark; planted
     // copies guarantee hits at every sf). Inverted-index semi-join — the
@@ -2007,6 +2030,20 @@ object Queries {
          |  CAST((${sha60Sql("'shard:' || CAST(doc_id AS VARCHAR)")}) % 16 AS INTEGER) AS shard,
          |  (${sha60Sql("'ord:' || CAST(doc_id AS VARCHAR)")}) AS ho
          |  FROM documents) t""".stripMargin,
+
+    // shard manifest: the identical rings and fold re-derived via the
+    // ordered list aggregate (first-element seed ≡ fold-from-0, h < P)
+    "q_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST((${sha60Sql("'shard:' || CAST(doc_id AS VARCHAR)")}) % 16 AS INTEGER) AS shard,
+         |    (${sha60Sql("'ord:' || CAST(doc_id AS VARCHAR)")}) AS ho,
+         |    (${sha60Sql("text")}) % ${Hashing.P} AS h,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  list_reduce(list(h ORDER BY ho, doc_id), (a, b) -> (a*8191+b) % ${Hashing.P}) AS content_fp
+         |FROM t GROUP BY 1""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH corpus AS (
