@@ -424,6 +424,20 @@ object Queries {
         k = 5, nCentroids = 8, nProbe = 4)
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
+    // ε-cosine pruning keeping each clique's least-central member — the
+    // DECIDING twin of q_emb_neardup's pair report. Planted exact copies
+    // (cosine 1.0, same cluster as their original) guarantee drops at
+    // every sf; the original always survives its copy (equal centroid
+    // cosine, lower id)
+    "q_semdedup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val withDup = e.select(col("vec_id"), col("embedding")).unionByName(
+        e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+      Dedup.semDedup(withDup, "vec_id", "embedding", k = 8, iters = 2, eps = 0.92)
+    }),
+
     // IVF over a Lloyd-refined quantizer (2 distributed k-means steps,
     // r6-rounded means) — the production fit, oracle = unrolled iterations
     "q_knn_ivf_kmeans" -> ((s, dir) => {
@@ -1412,8 +1426,15 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       |  FROM scored) s WHERE rank <= 5""".stripMargin
 
-  private def ivfKmeansOracle(kCent: Int, dims: Int, iters: Int,
-      nProbe: Int, topK: Int): String = {
+  /** DuckDB twin of [[graft.operators.Similarity.kmeansFit]] as a CTE
+    * chain `c0, cn0, a0, m0, c1, cn1, …, cn<iters>` (seeds = first `kCent`
+    * rows by id relabeled 0..k−1; each step assigns by cosine with the
+    * (csim DESC, cid) tie-break and recomputes r6-rounded per-dimension
+    * means, empty clusters keeping their previous centroid). Relies on
+    * upstream CTEs `e(vec_id, v)` and `n(vec_id, v, nv)` — shared by the
+    * IVF-kmeans and SemDeDup oracles so the fit cannot drift between them.
+    */
+  private def kmeansChainSql(kCent: Int, dims: Int, iters: Int): String = {
     val steps = (0 until iters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, v, cid FROM (
@@ -1431,12 +1452,17 @@ object Queries {
          |  GROUP BY p.cid),
          |cn${i + 1} AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c${i + 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+    s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kCent)),
        |cn0 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c0),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private def ivfKmeansOracle(kCent: Int, dims: Int, iters: Int,
+      nProbe: Int, topK: Int): String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+       |${kmeansChainSql(kCent, dims, iters)},
        |ca AS (
        |  SELECT vec_id AS neighbor_id, v AS nbv, nv AS nbn, cid FROM (
        |    SELECT n.vec_id, n.v, n.nv, c.cid,
@@ -1459,6 +1485,41 @@ object Queries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored) s WHERE rank <= $topK""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.operators.Dedup.semDedup]] over the planted-dup
+    * embedding corpus: the shared [[kmeansChainSql]] fit, single-nearest
+    * assignment with r6 centroid-cosine, then the within-cluster ε-pair
+    * keep-low rule — a row loses iff a same-cluster row within ε has a
+    * strictly smaller (cos_centroid, id). Independent derivation: the
+    * loser set comes from a plain pair join + CASE, not from replaying the
+    * engine's anti-join.
+    */
+  private def semDedupOracle(kCent: Int, dims: Int, iters: Int,
+      eps: Double): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 500000, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 5),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+       |${kmeansChainSql(kCent, dims, iters)},
+       |asg AS (
+       |  SELECT vec_id, v, nv, cid,
+       |    floor((list_dot_product(v, cv) / (nv * cn)) * 1000000 + 0.5) / 1000000 AS cos_centroid
+       |  FROM (
+       |    SELECT n.vec_id, n.v, n.nv, c.cid, c.cv, c.cn,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.cn) DESC, c.cid) AS r
+       |    FROM n, cn$iters c) x WHERE r = 1),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN a.cos_centroid > b.cos_centroid OR
+       |      (a.cos_centroid = b.cos_centroid AND a.vec_id > b.vec_id)
+       |    THEN a.vec_id ELSE b.vec_id END AS vec_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE floor((list_dot_product(a.v, b.v) / (a.nv * b.nv)) * 1000000 + 0.5) / 1000000 >= $eps)
+       |SELECT g.vec_id, g.cid, g.cos_centroid,
+       |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM asg g LEFT JOIN losers l ON g.vec_id = l.vec_id""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.shingleHashSets]] over a
     * relation `src(doc_id, text)`: a parenthesized subquery yielding
@@ -1916,6 +1977,7 @@ object Queries {
 
     "q_knn_ivf" -> knnIvfSql,
 
+    "q_semdedup" -> semDedupOracle(kCent = 8, dims = 64, iters = 2, eps = 0.92),
     "q_knn_ivf_kmeans" -> ivfKmeansOracle(kCent = 8, dims = 64, iters = 2,
       nProbe = 4, topK = 5),
 

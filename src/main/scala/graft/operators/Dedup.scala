@@ -1091,4 +1091,63 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §2 — public paper):
+    * semantic deduplication by k-means clustering of embeddings followed by
+    * within-cluster cosine pruning. Where [[embeddingNearDup]] *reports*
+    * near-duplicate pairs, this *decides* survivors: every ε-similar pair
+    * inside a cluster drops one member, keeping the one LEAST similar to
+    * the cluster centroid (the paper's keep-low policy — the retained
+    * extreme carries the information its prototypical near-twins repeat).
+    *
+    * Determinism (both engines): row d is dropped iff some same-cluster e
+    * has r6(cosine(d, e)) >= eps and (e.cos_centroid, e.id) <
+    * (d.cos_centroid, d.id) lexicographically — per ε-clique exactly the
+    * (cos_centroid, id)-minimum survives, and chains resolve greedily
+    * (every beaten member drops, even when its beater also drops).
+    * cos_centroid is r6-rounded BEFORE comparison and the fit's means are
+    * r6-rounded ([[Similarity.kmeansFit]]), so the tie-break is
+    * bit-identical in Spark and DuckDB.
+    *
+    * Scale shape: the fit is kmeansFit's model-sized jobs; assignment and
+    * centroid-cosine are pure projections over the literal k×D model (zero
+    * shuffle — the q_emb_outlier discipline); candidates come from ONE
+    * self-equi-join on cid carrying (id, cos_centroid) only, vectors
+    * rejoining for the exact cosine — within-cluster quadratic by the
+    * paper's own design, bounded by running k ∝ corpus size so clusters
+    * stay fixed-sized (their GPU-resident constraint is our task-resident
+    * one). Returns every input row: (idCol, cid, cos_centroid, kept 0/1).
+    */
+  def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int, eps: Double): DataFrame = {
+    require(eps > 0 && eps <= 1, s"eps must be in (0, 1]: $eps")
+    val cents = Similarity.kmeansFit(df, idCol, embCol, k, iters)
+    val assigned = Similarity.assignCentroids(df, idCol, embCol, cents, "id", probes = 1)
+    val byCid = cents.sortBy(_._1)
+    val cv = element_at(typedlit(byCid.map(_._2.toSeq).toSeq), col("cid").cast("int") + 1)
+    val cn = element_at(typedlit(byCid.map(_._3).toSeq), col("cid").cast("int") + 1)
+    val scored = assigned.withColumn("cos_centroid",
+      TextAnalysis.r6(
+        Similarity.cosine(col("id_v"), cv, col("id_norm"), cn)))
+    val slim = scored.select(col("id"), col("cid"), col("cos_centroid"))
+    val cand = slim.select(col("cid"), col("id").as("a"), col("cos_centroid").as("ac"))
+      .join(slim.select(col("cid"), col("id").as("b"), col("cos_centroid").as("bc")),
+        Seq("cid"))
+      .filter(col("a") < col("b"))
+    val vecs = scored.select(col("id"), col("id_v"), col("id_norm"))
+    val losers = cand
+      .join(vecs.select(col("id").as("a"), col("id_v").as("av"),
+        col("id_norm").as("an")), "a")
+      .join(vecs.select(col("id").as("b"), col("id_v").as("bv"),
+        col("id_norm").as("bn")), "b")
+      .filter(TextAnalysis.r6(
+        Similarity.cosine(col("av"), col("bv"), col("an"), col("bn"))) >= eps)
+      .select(when(col("ac") > col("bc") ||
+          (col("ac") === col("bc") && col("a") > col("b")),
+        col("a")).otherwise(col("b")).as("id"))
+      .distinct()
+    scored.join(losers.withColumn("__drop", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("cos_centroid"),
+        when(col("__drop").isNull, 1).otherwise(0).cast("int").as("kept"))
+  }
 }

@@ -40,7 +40,9 @@ object Probe {
   def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES",
+          (8 * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -48,6 +50,28 @@ object Probe {
     graft.functions.ParseTurn.register(s)
     graft.functions.SimHash.register(s)
     s
+  }
+
+  /** Table behind `scale` (and the target of `synth`): overridable so a
+    * scaling experiment can run against a differently-sized table without
+    * disturbing the official bench's /tmp/graft-bench-turns.
+    */
+  private def turnsPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_TURNS_PATH", "/tmp/graft-bench-turns")
+
+  /** `Probe synth <turns> [path]` — synthesize a transcript table of the
+    * given size (50-turn conversations, the Bench recipe) for ad-hoc
+    * scaling experiments at non-default sizes.
+    */
+  private def synth(args: Array[String]): Unit = {
+    val turns = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val path = args.drop(1).headOption.getOrElse(turnsPath)
+    val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val (sec, _) = timed(
+      graft.sources.Transcripts.synthesize(s, turns / 50, 50, numPartitions = 64)
+        .toDF().write.mode("overwrite").parquet(path))
+    println(f"[probe] synth turns=$turns path=$path sec=$sec%.1f")
+    s.stop()
   }
 
   private def scale(args: Array[String]): Unit = {
@@ -59,7 +83,7 @@ object Probe {
       val s = session(cpus)
       def run(): Unit =
         Route.sinkCounts(Route.routed(Enrich.enrich(Parse.parseTurns(
-          s.read.parquet("/tmp/graft-bench-turns")))), graft.Queries.demoRules).collect()
+          s.read.parquet(turnsPath)))), graft.Queries.demoRules).collect()
       run() // warm
       val ts = (1 to iters).map(_ => timed(run()))
       println(f"[probe] cores=$cpus min=${ts.map(_._1).min}%.2f all=${fmt(ts)}")
@@ -172,6 +196,7 @@ object Probe {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("q") => queries(args.drop(1))
     case Some("scale") => scale(args.drop(1))
+    case Some("synth") => synth(args.drop(1))
     case Some("skew") => skew(args.drop(1))
     case _ => scale(args)
   }

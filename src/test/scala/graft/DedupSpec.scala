@@ -502,4 +502,24 @@ class DedupSpec extends AnyFunSuite {
       .select("id", "cluster", "n_members").as[(Long, Long, Long)].collect().toSet
     assert(clusters == Set((7L, 7L, 2L), (500L, 7L, 2L)))
   }
+
+  test("semDedup drops planted copies, keeps originals, covers every row") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
+    } :+ (500L, (0 until 16).map(d => math.sin(7 * 16 + d).toFloat).toArray)
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", k = 4, iters = 2, eps = 0.999)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    // total coverage: one verdict per input row
+    assert(out.size == 31)
+    // the planted exact copy loses to its original: equal centroid cosine,
+    // the keep-low tie-break retains the smaller id
+    assert(out(7L) == 1 && out(500L) == 0)
+    // nothing else in this well-separated fixture is within eps=0.999
+    assert(out.values.count(_ == 0) == 1)
+    // deterministic across runs (fit, assignment and tie-breaks are RNG-free)
+    val again = Dedup.semDedup(df, "vec_id", "embedding", k = 4, iters = 2, eps = 0.999)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(again == out)
+  }
 }
