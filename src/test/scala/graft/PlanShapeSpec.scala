@@ -188,6 +188,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("semdedup: equi-joins only, no cartesian, no single-partition stage") {
+    // the k-means fit runs at construction (model-sized collects); the
+    // returned plan must be assignment projections + the within-cluster
+    // equi-join + the loser left join — every join keyed (cid / id), none
+    // nested-loop. The loser join may be SortMergeJoin: losers can be a
+    // large fraction of rows at scale, so a shuffle join on 8-byte ids is
+    // the shape we WANT there, not a broadcast.
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("events scan prunes columns and pushes the filter down") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/events.parquet")
