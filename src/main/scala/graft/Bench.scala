@@ -454,7 +454,7 @@ object Bench {
         // Up to `rounds` rounds give each leg more than one chance at a
         // quiet window; a round only starts when the budget fits it, and
         // NO leg iteration is deadline-exempt (r5's overrun source).
-        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
         def measure(cores: Int, estimate: Double): Meas = {
           if (remainingWorkSec < estimate * 1.3 + sessionOverheadSec)
             return MeasEmpty
@@ -483,6 +483,15 @@ object Bench {
         }
         var continue = scaleTurns > 0
         var lastRoundSec = estRound(math.max(scaleTurns, 1L))
+        // efficiency from everything measured so far (min-per-leg across
+        // all rounds' iterations — the same combine scalingJson publishes)
+        def runningEff: Option[Double] = {
+          def m(c: Int): Option[Meas] = {
+            val ms = legsByCores(c).filter(_.iters.nonEmpty)
+            if (ms.isEmpty) None else Some(Meas(ms.flatMap(_.iters)))
+          }
+          for (l <- m(loCores); h <- m(hiCores)) yield l.gated / (4.0 * h.gated)
+        }
         while (roundsRun < rounds && continue) {
           val r0 = System.nanoTime()
           legsByCores(hiCores) :+= measure(hiCores, estIter(hiCores, scaleTurns))
@@ -499,11 +508,19 @@ object Bench {
           legsByCores(loCores) :+= measure(loCores, loEst)
           lastRoundSec = (System.nanoTime() - r0) / 1e9
           roundsRun += 1
-          // stop early once both legs are clean (the ratio is trustworthy;
-          // more rounds only spend budget) or the next round cannot fit
+          // stop early only once the reading is SETTLED: both legs saw a
+          // steal-quiet window AND the running ratio is in the job's
+          // plausible band. Steal-clean alone is not enough — the r6
+          // official window read 0.728 from a 4-core leg at 10.7-12.1s
+          // with steal ≤0.3s, while same-day quiet windows read 7.6-8.5s
+          // (EFF 0.99): co-tenant bandwidth contention is invisible to
+          // the steal counter, so an implausibly low ratio with budget to
+          // spare buys MORE windows (min-per-leg over all of them, every
+          // iteration published), bounded by `rounds` and the deadline.
           val bothClean = legsByCores(hiCores).exists(_.isClean) &&
             legsByCores(loCores).exists(_.isClean)
-          continue = !bothClean && remainingWorkSec > lastRoundSec * 1.2
+          val settled = bothClean && runningEff.exists(e => e >= 0.8 && e <= 1.05)
+          continue = !settled && remainingWorkSec > lastRoundSec * 1.2
         }
       }
     } else spark.stop()

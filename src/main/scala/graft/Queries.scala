@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, KvParse, SimHash}
 import graft.model.{MultilineMode, SinkRule}
-import graft.operators.{AsOf, Cardinality, Conversations, Dedup, Drift, Enrich, Frequency, Mixing, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Cardinality, Conversations, CorpusLm, Dedup, Drift, Enrich, Frequency, Mixing, Multimodal, Parse, Quantile, Route, Segments, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** The operator-level query inventory (SURVEY.md §2) with DuckDB oracles.
@@ -506,6 +506,20 @@ object Queries {
     "q_bm25_search" -> ((s, dir) =>
       graft.operators.Search.bm25(documents(s, dir),
         Seq("table", "join", "window"), k1 = 1.2, b = 0.75, topK = 10)),
+
+    // CCNet-style LM quality terciles (Wenzek et al. 2020): per-doc bits
+    // under the corpus's own add-α bigram model, head/middle/tail per
+    // language — the perplexity-bucketing stage of a curation pipeline
+    "q_lm_bits" -> ((s, dir) =>
+      CorpusLm.bigramBits(documents(s, dir), alpha = 0.1)),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // log-likelihood ratio vs a curated target slice (sources src0-src3),
+    // top-100 most target-like docs
+    "q_dsir_select" -> ((s, dir) =>
+      CorpusLm.dsirWeights(documents(s, dir),
+        isTarget = col("source").isin("src0", "src1", "src2", "src3"),
+        buckets = 8192, alpha = 0.5, topK = 100)),
 
     // language ID (stopword-hit heuristic)
     "q_lang_id" -> ((s, dir) =>
@@ -2482,6 +2496,65 @@ object Queries {
         |       FROM sc GROUP BY 1)
         |SELECT doc_id, floor(score_raw * 1000000 + 0.5) / 1000000 AS score
         |FROM ag ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin,
+
+    // CCNet LM terciles: the same add-α bigram model re-derived — counts,
+    // vocab, per-doc position-ordered fold of ln probabilities, ntile(3)
+    // per lang. ln / list_reduce order shared with the Spark plan
+    // (operators/CorpusLm.scala discipline notes).
+    "q_lm_bits" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+        |       FROM toks, unnest(range(1, len(t))) AS u(i)),
+        |c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1, 2),
+        |vc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM
+        |         (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)),
+        |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         list_reduce(
+        |           list(ln((c2.c2 + 0.1) / (c1.c1 + 0.1 * vc.v)) ORDER BY bg.pos),
+        |           (a, x) -> a + x) AS s
+        |       FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |            JOIN c1 ON bg.w1 = c1.w1 CROSS JOIN vc
+        |       GROUP BY 1),
+        |bt AS (SELECT doc_id, n_bigrams,
+        |         floor((-(s / CAST(n_bigrams AS DOUBLE)) / 0.6931471805599453)
+        |           * 1000000 + 0.5) / 1000000 AS bits
+        |       FROM sc)
+        |SELECT doc_id, lang, n_bigrams, bits,
+        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM (SELECT bt.doc_id, d.lang, bt.n_bigrams, bt.bits,
+        |        ntile(3) OVER (PARTITION BY d.lang
+        |          ORDER BY bt.bits, bt.doc_id) AS nt
+        |      FROM bt JOIN documents d USING (doc_id)) q""".stripMargin,
+
+    // DSIR: hashed-unigram importance log-weight re-derived — bucket
+    // counts over the same sha60 feature hash, ln-ratio per position in
+    // position order, top-100 by raw weight
+    "q_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |    source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+        |pos AS (SELECT doc_id, tgt, i AS pos,
+        |    ${sha60Sql("'dsir:' || t[i]")} % 8192 AS f
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        |rc AS (SELECT f, CAST(count(*) AS DOUBLE) AS rc,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS tc
+        |       FROM pos GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS rt,
+        |          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS tt
+        |        FROM pos),
+        |ag AS (SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |         list_reduce(
+        |           list(ln(rc.tc + 0.5) - ln(tot.tt + 4096.0)
+        |                - (ln(rc.rc + 0.5) - ln(tot.rt + 4096.0))
+        |             ORDER BY pos.pos),
+        |           (a, x) -> a + x) AS w_raw
+        |       FROM pos JOIN rc USING (f) CROSS JOIN tot
+        |       GROUP BY 1)
+        |SELECT doc_id, n_toks,
+        |  floor(w_raw * 1000000 + 0.5) / 1000000 AS weight
+        |FROM ag ORDER BY w_raw DESC, doc_id LIMIT 100""".stripMargin,
 
     // winnowing coverage: identical token sha60 → 4-gram folds (ORDERED,
     // no distinct — the winnow-specific departure from hashedShinglesSql),
