@@ -380,6 +380,14 @@ object Queries {
     "q_cdc_dedup" -> ((s, dir) =>
       Dedup.cdcDedup(cdcFixture(s, dir), "doc_id", "text", w = 3, d = 8L)),
 
+    // exact duplicated-span REMOVAL (C4 span rule / ExactSubstr at fixed
+    // 8-token block grain): corpus-wide keep-first on block content, the
+    // losing occurrences deleted from their documents, text rebuilt from
+    // the surviving blocks — the rewrite face of dedup (q_cdc_dedup only
+    // accounts; this scrubs)
+    "q_span_scrub" -> ((s, dir) =>
+      Dedup.spanScrub(spanFixture(s, dir), "doc_id", "text", k = 8)),
+
     // cross-source duplication matrix: verified LSH near-dup pairs folded
     // over the source dimension — which corpora duplicate which, the
     // data-card facet a mixing recipe down-weights on. Planted copies map
@@ -604,6 +612,15 @@ object Queries {
           rates)
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
+
+    // temperature-sampled blend (T = 2, α = 1/2 via IEEE-exact sqrt):
+    // per-source acceptance rates FIT from the corpus's own token counts
+    // (q_s ∝ √p_s — up-weights small sources), then the deterministic mix
+    // ring; returns the recipe + outcome per source. The oracle re-fits
+    // the rates independently with the same ordered-fold float discipline.
+    "q_mix_temperature" -> ((s, dir) =>
+      Mixing.temperatureMix(documents(s, dir), col("doc_id"), col("source"),
+        col("text"), budgetPermille = 500)),
 
     // deterministic training-shard assignment + within-shard order: the
     // dataloader-facing global pseudo-shuffle — shard = hash ring A,
@@ -1291,6 +1308,20 @@ object Queries {
     * docs — the insertion pattern fixed-width blocking cannot dedup and
     * CDC realigns on. DuckDB twin inside [[cdcCte]] — change BOTH.
     */
+  /** Span-scrub fixture: every doc < 60 gets a planted self-concatenation
+    * (X ‖ X) under a fresh id — its first-half blocks duplicate the
+    * original's exactly (same alignment), the second half realigns only
+    * when n_tokens ≡ 0 (mod k), so the fixture exercises full, partial,
+    * and boundary-straddling removal in one table.
+    */
+  private def spanFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+  }
+
   private def cdcFixture(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(
@@ -1942,6 +1973,40 @@ object Queries {
         |  floor((CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS DOUBLE) / sum(n_tok)) * 1000000 + 0.5) / 1000000 AS dup_frac
         |FROM cdc_rk GROUP BY 1""".stripMargin),
 
+    // duplicated-span removal re-derived: same fixture (X ‖ X plants),
+    // same 8-token blocks + 'span:'-prefixed sha60, keep-first row_number,
+    // reconstruction via list comprehension over kept block slices + tail
+    "q_span_scrub" ->
+      s"""WITH docs_sp AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, text || ' ' || text AS text
+         |  FROM documents WHERE doc_id < 60),
+         |base AS (SELECT doc_id, t, len(t) AS n_tokens,
+         |    CAST(len(t) // 8 AS INT) AS nb
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |        FROM docs_sp) q0),
+         |occ AS (SELECT doc_id, i AS block_idx,
+         |    ${sha60Sql("'span:' || array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ')")} AS h
+         |  FROM base, unnest(range(0, nb)) u(i)),
+         |rem AS (SELECT doc_id, block_idx FROM (
+         |    SELECT doc_id, block_idx,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, block_idx) AS rn
+         |    FROM occ) q1 WHERE rn > 1),
+         |remd AS (SELECT doc_id, list(block_idx ORDER BY block_idx) AS remx
+         |  FROM rem GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(b.nb AS BIGINT) AS n_blocks,
+         |  CAST(coalesce(len(remx), 0) AS BIGINT) AS n_removed_blocks,
+         |  CAST(coalesce(len(remx), 0) * 8 AS BIGINT) AS removed_tokens,
+         |  coalesce(array_to_string(
+         |    flatten([list_slice(t, i * 8 + 1, i * 8 + 8)
+         |             FOR i IN range(0, nb)
+         |             IF remx IS NULL OR NOT list_contains(remx, i)])
+         |    || list_slice(t, nb * 8 + 1, len(t)), ' '), '') AS clean_text
+         |FROM base b LEFT JOIN remd USING (doc_id)""".stripMargin,
+
     // cross-source matrix: the q_dedup_minhash pair derivation kept with
     // its jaccard, folded over the documents source dimension (planted
     // +100000 ids map back to their original's source)
@@ -2097,6 +2162,37 @@ object Queries {
          |    (2000 - 83 * TRY_CAST(substr(source, 4) AS INTEGER)) AS r
          |    FROM documents) t) c
          |WHERE copies > 0""".stripMargin,
+
+    // temperature blend: rates re-fit in SQL — sqrt shares (sum folded in
+    // source-name order from the first element ≡ seed-0.0 fold), integer
+    // floor-division budget, the same (budget·1000.0·q)/c_s op order, then
+    // the tmix ring membership and per-source outcome aggregate
+    "q_mix_temperature" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS toks
+         |  FROM documents),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+         |tot AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 500) // 1000 AS budget,
+         |    list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+         |      (a, b) -> a + b) AS sum_sqrt
+         |  FROM c),
+         |rt AS (SELECT c.source, c.n_docs, c.n_tokens,
+         |    CAST(least(1000.0, floor((CAST(tot.budget AS DOUBLE) * 1000.0 *
+         |        (sqrt(CAST(c.n_tokens AS DOUBLE)) / tot.sum_sqrt))
+         |      / CAST(c.n_tokens AS DOUBLE))) AS INTEGER) AS rate_permille
+         |  FROM c, tot),
+         |smp AS (SELECT tk.source,
+         |    CAST(count(*) AS BIGINT) AS sampled_docs,
+         |    CAST(sum(tk.toks) AS BIGINT) AS sampled_tokens
+         |  FROM tk JOIN rt USING (source)
+         |  WHERE ((${sha60Sql("'tmix:' || CAST(doc_id AS VARCHAR)")}) % 1000)
+         |    < rate_permille
+         |  GROUP BY 1)
+         |SELECT rt.source, rt.n_docs, rt.n_tokens, rt.rate_permille,
+         |  coalesce(smp.sampled_docs, 0) AS sampled_docs,
+         |  coalesce(smp.sampled_tokens, 0) AS sampled_tokens
+         |FROM rt LEFT JOIN smp USING (source)""".stripMargin,
 
     // shard + order: same two decorrelated hash rings, rank within shard
     "q_shard_order" ->

@@ -1150,4 +1150,71 @@ object Dedup {
       .select(col("id").as(idCol), col("cid"), col("cos_centroid"),
         when(col("__drop").isNull, 1).otherwise(0).cast("int").as("kept"))
   }
+
+  // ------------------------------------------------------------ exact span scrub
+
+  /** Exact duplicated-span REMOVAL — the C4 three-sentence-span rule
+    * (Raffel et al. 2020, arXiv:1910.10683 §2.2) / ExactSubstr dedup (Lee
+    * et al. 2022, arXiv:2107.06499) at fixed token-block grain: the corpus
+    * here is single-line text, so "sentence" maps to a non-overlapping
+    * `k`-token block. Every block whose content already occurred at a
+    * smaller (id, block_idx) anywhere in the corpus is DELETED from the
+    * document (first occurrence kept); the trailing partial block (< k
+    * tokens) is always kept — the short-span floor below which duplication
+    * is not evidence (Lee et al.'s minimum match length). Unlike [[exact]]
+    * / [[cdcDedup]] (doc-level drop / accounting), this REWRITES the text:
+    * the surviving document is the concatenation of its kept blocks + tail
+    * in block order, whitespace-normalized lowercase (the [[TextAnalysis
+    * .tokens]] canonical form).
+    *
+    * Returns (id, n_tokens, n_blocks, n_removed_blocks, removed_tokens,
+    * clean_text).
+    *
+    * Scale shape: block hashes are computed per row BEFORE any exchange,
+    * so the keep-first shuffle moves (id, block_idx, 8-byte hash) only —
+    * never block text; removed positions come back as ONE ids-only
+    * per-doc array row (empty-free: only docs that lose a block appear),
+    * joined doc-grain; reconstruction is a pure expression over the
+    * original token array (no second text shuffle, no re-explode).
+    * Window is row_number over the hash — hash-partitioned, no global
+    * sort. Survives 100×: every exchanged row is integers.
+    */
+  def spanScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val nb = (size(TextAnalysis.tokens(col(textCol))) / k).cast("int")
+    val toks = df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__t"), nb.as("__nb"))
+      .select(col(idCol), col("__t"), col("__nb"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        // sequence(0, -1) DESCENDS in Spark — guard zero-block docs
+        when(col("__nb") > 0, sequence(lit(0), col("__nb") - 1))
+          .otherwise(array().cast("array<int>")).as("__idxs"))
+    // (id, block_idx, h) — ids only past this point
+    val occ = toks.select(col(idCol), posexplode(
+      transform(col("__idxs"), i =>
+        Hashing.sha60(concat(lit("span:"),
+          array_join(slice(col("__t"), i * k + 1, lit(k)), " "))))
+    ).as(Seq("block_idx", "h")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col(idCol), col("block_idx"))
+    val removedPerDoc = occ
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("block_idx"))).as("__rem"))
+    toks.join(removedPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        col("__nb").cast("long").as("n_blocks"),
+        coalesce(size(col("__rem")), lit(0)).cast("long")
+          .as("n_removed_blocks"),
+        (coalesce(size(col("__rem")), lit(0)) * k).cast("long")
+          .as("removed_tokens"),
+        array_join(concat(
+          flatten(transform(
+            filter(col("__idxs"),
+              i => coalesce(!array_contains(col("__rem"), i), lit(true))),
+            i => slice(col("__t"), i * k + 1, lit(k)))),
+          slice(col("__t"), col("__nb") * k + 1,
+            size(col("__t")) - col("__nb") * k)), " ").as("clean_text"))
+  }
 }

@@ -90,4 +90,72 @@ object Mixing {
         explode(sequence(lit(0), col("_mix_copies") - 1)))
       .drop("_mix_source", "_mix_rate", "_mix_copies")
   }
+
+  /** Temperature-sampled source blend at T = 2 (α = 1/2) — the
+    * multilingual / multi-source rebalancing rule of Conneau & Lample 2019
+    * (arXiv:1901.07291 §3.1) and mT5 (arXiv:2010.11934 §3.2): sample
+    * source s proportionally to p_s^α, which UP-weights small sources and
+    * DOWN-weights dominant ones relative to natural frequency. α is fixed
+    * at 1/2 so the power is `sqrt` — the one power IEEE-754 requires
+    * correctly rounded, hence bit-identical across Spark, DuckDB and the
+    * JVM (general `pow` is only 1-ulp-accurate in fdlibm and would flip
+    * floor() at rate boundaries between engines).
+    *
+    * Fit: per-source token counts c_s (exact integers), share
+    * q_s = sqrt(c_s) / Σ sqrt(c_s) with the sum folded in SOURCE-NAME
+    * order from seed 0.0 (the ordered-fold float discipline), token budget
+    * B = floor(total · budgetPermille / 1000) (exact integer arithmetic),
+    * acceptance rate_s = min(1000, floor((B · 1000.0 · q_s) / c_s)) — the
+    * permille at which source s's expected sampled tokens ≈ B·q_s.
+    * Sampling then IS [[mixBySource]] on the `salt` ring (deterministic,
+    * reshuffle-stable, per-shard consistent).
+    *
+    * Returns the per-source recipe + outcome: (source, n_docs, n_tokens,
+    * rate_permille, sampled_docs, sampled_tokens).
+    *
+    * Scale shape: the fit collects ONE row per source (a data-card-sized
+    * model fit — the k-means-centroid precedent, never row-scale); the
+    * sampling pass is the zero-shuffle broadcast-filter of
+    * [[mixBySource]]; the report is one map-side-combined aggregate.
+    */
+  def temperatureMix(df: DataFrame, keyCol: Column, sourceCol: Column,
+      textCol: Column, budgetPermille: Int = 500,
+      salt: String = "tmix"): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"temperatureMix: budgetPermille outside [0, 1000]: $budgetPermille")
+    val base = df.select(keyCol.as("_tm_key"), sourceCol.as("_tm_source"),
+      size(TextAnalysis.tokens(textCol)).cast("long").as("_tm_toks"))
+    val counts = base.groupBy(col("_tm_source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tm_toks")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getAs[String]("_tm_source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    val total = counts.map(_._3).sum
+    val budget = total * budgetPermille / 1000 // integer floor, exact
+    val sumSqrt = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._3.toDouble))
+    val rates: Map[String, Int] = counts.map { case (s, _, cs) =>
+      val q = math.sqrt(cs.toDouble) / sumSqrt
+      val r = math.floor((budget * 1000.0 * q) / cs.toDouble)
+      s -> math.min(1000.0, r).toInt
+    }.toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    // both final-join sides are source-cardinality rows; no hint needed
+    // (a broadcast hint on the PRESERVED side of a left join is ignored)
+    val dim = counts.map { case (s, d, t) =>
+      (s, d, t, rates(s)) }.toSeq
+      .toDF("source", "n_docs", "n_tokens", "rate_permille")
+    val sampled = mixBySource(base, col("_tm_key"), col("_tm_source"), rates,
+      salt)
+      .groupBy(col("_tm_source").as("source"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        sum(col("_tm_toks")).as("sampled_tokens"))
+    // left join keeps rate-0 sources in the recipe with zero outcomes
+    dim.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("rate_permille").cast("int").as("rate_permille"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+  }
 }

@@ -522,4 +522,38 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_id", "kept").as[(Long, Int)].collect().toMap
     assert(again == out)
   }
+
+  test("spanScrub removes later duplicated blocks, keeps first occurrence") {
+    // k=2 blocks: doc1 = (a b)(c d); doc2's (a b) loses keep-first; doc3's
+    // only block (z a) straddles the duplicate content — alignment matters
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x"),
+      (3L, "z a b"),
+      (4L, "q r s")).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(df, "doc_id", "text", k = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed_blocks"),
+          r.getAs[Long]("removed_tokens"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(out(1L) == ((2L, 0L, 0L, "a b c d")))
+    assert(out(2L) == ((1L, 1L, 2L, "x")))
+    assert(out(3L) == ((1L, 0L, 0L, "z a b")))
+    assert(out(4L) == ((1L, 0L, 0L, "q r s")))
+  }
+
+  test("spanScrub: within-doc repetition collapses to the first block") {
+    // self-concatenation at exact block alignment: X || X keeps one X
+    val df = Seq(
+      (7L, "t1 t2 t3 t4 t1 t2 t3 t4"), // 8 tokens, k=4: block1 == block0
+      (8L, "u1 u2 u3")                 // shorter than k: untouched tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(df, "doc_id", "text", k = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("n_removed_blocks"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(out(7L) == ((8L, 2L, 1L, "t1 t2 t3 t4")))
+    assert(out(8L) == ((3L, 0L, 0L, "u1 u2 u3")))
+  }
 }

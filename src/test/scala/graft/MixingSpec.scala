@@ -101,4 +101,46 @@ class MixingSpec extends AnyFunSuite {
         s"$s: kept $g of 2000 at rate $r permille")
     }
   }
+
+  test("temperatureMix: sqrt rates up-weight the small source") {
+    // big: 900 docs x 10 tokens, small: 100 docs x 10 tokens
+    val rows = (0 until 900).map(i => (i.toLong, "big", "t " * 9 + "t")) ++
+      (0 until 100).map(i => (1000L + i, "small", "t " * 9 + "t"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+    val out = Mixing.temperatureMix(df, col("doc_id"), col("source"),
+        col("text"), budgetPermille = 500).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // closed-form: c_big=9000, c_small=1000, B=5000;
+    // q = sqrt(c)/ (sqrt(9000)+sqrt(1000)); rate = floor(B*1000*q/c)
+    val sumSqrt = 0.0 + math.sqrt(1000.0) + math.sqrt(9000.0) // "big"<"small"
+    def rate(c: Double) =
+      math.min(1000.0, math.floor(5000L * 1000.0 *
+        (math.sqrt(c) / sumSqrt) / c)).toInt
+    val rBig = out("big").getAs[Int]("rate_permille")
+    val rSmall = out("small").getAs[Int]("rate_permille")
+    assert(rBig == rate(9000.0) && rSmall == rate(1000.0))
+    // temperature flattening: small source keeps a HIGHER fraction
+    assert(rSmall > rBig)
+    assert(out("big").getAs[Long]("n_tokens") == 9000L)
+    // outcome columns track the ring exactly (bounds: rate ± sampling)
+    val sb = out("big").getAs[Long]("sampled_docs")
+    assert(sb > 0 && sb < 900)
+    assert(out("big").getAs[Long]("sampled_tokens") == sb * 10)
+  }
+
+  test("temperatureMix: uniform sources get uniform rates ~ budget") {
+    val rows = (0 until 300).map(i => (i.toLong, s"s${i % 3}", "a b c d"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+    val out = Mixing.temperatureMix(df, col("doc_id"), col("source"),
+        col("text"), budgetPermille = 600).collect()
+    // equal counts => identical rates ≈ budget permille for every source
+    // (same closed form as the operator; here the float product lands
+    // exactly on 240000.0, so the floor returns the full 600)
+    val sumSqrt = 0.0 + math.sqrt(400.0) + math.sqrt(400.0) + math.sqrt(400.0)
+    val want = math.min(1000.0, math.floor(
+      (1200L * 600 / 1000) * 1000.0 * (math.sqrt(400.0) / sumSqrt) / 400.0)).toInt
+    assert(out.map(_.getAs[Int]("rate_permille")).toSet == Set(want))
+    assert(want == 600) // pinned so a closed-form drift shows up loudly
+    assert(out.length == 3)
+  }
 }
