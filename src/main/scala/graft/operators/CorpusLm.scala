@@ -76,9 +76,15 @@ object CorpusLm {
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
     val c2 = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("double").as("c2"))
-    // V counts distinct tokens in EITHER bigram slot (== distinct tokens
-    // of every ≥2-token doc: every token is a w1 or the final w2)
-    val vocab = bg.select(col("w1").as("w")).union(bg.select(col("w2").as("w")))
+    // V counts distinct tokens in EITHER bigram slot == distinct tokens
+    // of every ≥2-token doc (every token is a w1 or the final w2) — the
+    // direct form explodes n tokens/doc instead of 2(n−1) bigram slots
+    // and scans the corpus once, not twice; the VALUE is identical, so
+    // the oracle may derive it from the slots
+    val vocab = docs
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(col("toks")).as("w"))
       .agg(countDistinct("w").cast("double").as("v"))
     val lp = log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v")))
     val scored = bg

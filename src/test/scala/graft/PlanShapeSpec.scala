@@ -201,6 +201,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("span scrub: keep-first window keyed by hash, no cartesian, no single partition") {
+    // the keep-first shuffle must be hash-partitioned on the 8-byte block
+    // hash; reconstruction is expression-only (no second Generate after
+    // the join); nothing funnels to one partition
+    val p = plan("q_span_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(h"), s"keep-first not keyed by hash:\n$p")
+  }
+
+  test("temperature mix: sampling pass is broadcast-filter; report joins stay small") {
+    val p = plan("q_mix_temperature")
+    assert(!p.contains("CartesianProduct"), p)
+    // the row-scale pass (ring filter behind the rate dim) must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("lm bits: count joins are hash equi-joins; tercile window per lang") {
+    // the per-position bigram-probability join is the INTENDED shuffle
+    // shape (a corpus bigram table is not broadcastable at scale, though
+    // AQE may broadcast at test SF) — what must never appear is a
+    // cartesian. (The vocab fit keeps its one-ROW global distinct-count
+    // final stage — a SinglePartition over pre-combined partials is the
+    // correct shape for a scalar, so it is not banned here.)
+    val p = plan("q_lm_bits")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir: ends in TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("events scan prunes columns and pushes the filter down") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/events.parquet")
