@@ -1062,6 +1062,17 @@ object Queries {
             col("n_exact"))).as("err_frac"))
     }),
 
+    // cross-source vocabulary overlap matrix by inclusion–exclusion over
+    // mergeable HLL register tables: which sources share a token space —
+    // the SET-overlap complement of q_corpus_drift's mass divergence,
+    // bounded-state where the exact answer needs a token×source shuffle
+    // plus a self-join. One corpus pass builds all 20 per-source sketches.
+    "q_vocab_overlap" -> ((s, dir) =>
+      Cardinality.overlapMatrix(
+        documents(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("source"), col("tok"), p = 8)),
+
     // deterministic count-min frequency sketch: heavy-hitter token counts
     // estimated from a 4×1024 counter table built with the mix affine
     // family — the frequency face of the sizing pass next to
@@ -2753,6 +2764,51 @@ object Queries {
         |       ELSE floor(abs(floor(e * 1000000 + 0.5) / 1000000 - n_exact) / n_exact * 1000000 + 0.5) / 1000000
         |  END AS err_frac
         |FROM fin, ex""".stripMargin,
+
+    // vocabulary overlap matrix: per-source registers, per-source and
+    // per-pair (register-wise max) estimates with the IDENTICAL op-order
+    // estimator, inclusion–exclusion floored at 0, r6 on output only
+    "q_vocab_overlap" ->
+      s"""WITH tk AS (SELECT source AS src,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT src, ${sha60Sql("tok")} AS h FROM tk),
+         |b AS (SELECT src, h >> 52 AS bucket, h % 4503599627370496 AS rest FROM h),
+         |r AS (SELECT src, bucket,
+         |        CASE WHEN rest = 0 THEN 53
+         |             ELSE CAST(floor(log2(rest & (-rest)) + 0.5) AS INT) + 1 END AS rho
+         |      FROM b),
+         |reg AS (SELECT src, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |sagg AS (SELECT src, CAST(count(*) AS BIGINT) AS n_occupied,
+         |           coalesce(sum(pow(2.0, -mj)), 0.0) AS s FROM reg GROUP BY 1),
+         |sest AS (SELECT src,
+         |           CASE WHEN e_raw <= 2.5 * 256.0 AND n_occupied < 256
+         |                THEN 256.0 * ln(256.0 / (256 - n_occupied)) ELSE e_raw END AS e
+         |         FROM (SELECT src, n_occupied,
+         |                 (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / (s + (256 - n_occupied)) AS e_raw
+         |               FROM sagg) q0),
+         |prs AS (SELECT a.src AS src_lo, b.src AS src_hi
+         |        FROM (SELECT DISTINCT src FROM reg) a
+         |        JOIN (SELECT DISTINCT src FROM reg) b ON a.src < b.src),
+         |ureg AS (SELECT p.src_lo, p.src_hi, r2.bucket, max(r2.mj) AS mj
+         |         FROM prs p JOIN reg r2 ON r2.src = p.src_lo OR r2.src = p.src_hi
+         |         GROUP BY 1, 2, 3),
+         |uagg AS (SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_occupied,
+         |           coalesce(sum(pow(2.0, -mj)), 0.0) AS s FROM ureg GROUP BY 1, 2),
+         |uest AS (SELECT src_lo, src_hi,
+         |           CASE WHEN e_raw <= 2.5 * 256.0 AND n_occupied < 256
+         |                THEN 256.0 * ln(256.0 / (256 - n_occupied)) ELSE e_raw END AS e_u
+         |         FROM (SELECT src_lo, src_hi, n_occupied,
+         |                 (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / (s + (256 - n_occupied)) AS e_raw
+         |               FROM uagg) q1)
+         |SELECT u.src_lo, u.src_hi,
+         |  floor(el.e * 1000000 + 0.5) / 1000000 AS e_lo,
+         |  floor(eh.e * 1000000 + 0.5) / 1000000 AS e_hi,
+         |  floor(u.e_u * 1000000 + 0.5) / 1000000 AS e_union,
+         |  floor(greatest(0.0, (el.e + eh.e) - u.e_u) * 1000000 + 0.5) / 1000000 AS e_inter,
+         |  floor((greatest(0.0, (el.e + eh.e) - u.e_u) / u.e_u) * 1000000 + 0.5) / 1000000 AS jaccard
+         |FROM uest u JOIN sest el ON el.src = u.src_lo
+         |            JOIN sest eh ON eh.src = u.src_hi""".stripMargin,
 
     // embedding outlier: identical r6 per-(label,dim) means; dims pair by
     // index (Spark 0-based posexplode vs DuckDB 1-based v[i], both in dim

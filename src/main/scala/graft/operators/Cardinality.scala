@@ -103,17 +103,109 @@ object Cardinality {
     */
   def estimate(regs: DataFrame, p: Int = 8): DataFrame = {
     require(p >= 7 && p <= 16, s"estimator bias constant needs p >= 7 (got $p)")
+    groupedEstimate(regs, Nil, p)
+  }
+
+  /** [[estimate]] per key group over a keyed register table
+    * (keys… , bucket, mj) — one sketch per group, identical op order, so
+    * every grouped estimate stays cross-engine stable. `keys = Nil` is the
+    * global one-row form.
+    */
+  def groupedEstimate(regs: DataFrame, keys: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"estimator bias constant needs p >= 7 (got $p)")
     val m = 1 << p
     val md = m.toDouble
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md))
-    regs.agg(count(lit(1)).as("n_occupied"),
-        coalesce(sum(pow(lit(2.0), -col("mj"))), lit(0.0)).as("s"))
-      .select(col("n_occupied"),
+    val agged =
+      if (keys.isEmpty)
+        regs.agg(count(lit(1)).as("n_occupied"),
+          coalesce(sum(pow(lit(2.0), -col("mj"))), lit(0.0)).as("s"))
+      else
+        regs.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_occupied"),
+            coalesce(sum(pow(lit(2.0), -col("mj"))), lit(0.0)).as("s"))
+    val keyCols = keys.map(col)
+    agged
+      .select(keyCols :+ col("n_occupied") :+
         (alpha * lit(md) * lit(md) /
-          (col("s") + (lit(m.toLong) - col("n_occupied")))).as("e_raw"))
-      .select(col("n_occupied"),
+          (col("s") + (lit(m.toLong) - col("n_occupied")))).as("e_raw"): _*)
+      .select(keyCols :+ col("n_occupied") :+
         when(col("e_raw") <= lit(2.5 * md) && col("n_occupied") < m,
           lit(md) * log(lit(md) / (lit(m.toLong) - col("n_occupied"))))
-          .otherwise(col("e_raw")).as("e"))
+          .otherwise(col("e_raw")).as("e"): _*)
+  }
+
+  /** Keyed register tables: one [[registers]] sketch per value of `key`
+    * in a single pass — partial max per (key, bucket) combines map-side,
+    * so the shuffle carries ≤ |keys|·m integer rows per map task.
+    */
+  def keyedRegisters(items: DataFrame, key: Column, item: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"sketch precision p=$p outside [7, 16]")
+    val restBits = 60 - p
+    val mask = (1L << restBits) - 1
+    items.select(key.as("src"), Hashing.sha60(item).as("h"))
+      .select(col("src"), shiftright(col("h"), restBits).as("bucket"),
+        col("h").bitwiseAND(lit(mask)).as("rest"))
+      .select(col("src"), col("bucket"),
+        when(col("rest") === 0L, lit(restBits + 1))
+          .otherwise(floor(log2(col("rest").bitwiseAND(-col("rest"))) + lit(0.5))
+            .cast("int") + lit(1))
+          .as("rho"))
+      .groupBy("src", "bucket").agg(max(col("rho")).as("mj"))
+  }
+
+  /** Cross-key overlap matrix by inclusion–exclusion over mergeable
+    * sketches: for every key pair (lo < hi), |A ∪ B| comes from the
+    * register-wise-max merged sketch, |A ∩ B| ≈ e_lo + e_hi − e_union,
+    * and the Jaccard ratio follows — the bounded-state answer to "which
+    * sources share a vocabulary / url space / doc-hash space" that an
+    * exact distinct-intersection (a token × source shuffle, then a
+    * self-join) cannot give at 100 TB. Complements [[graft.operators
+    * .Drift.tvdVsCorpus]] (mass divergence) with SET overlap.
+    *
+    * Returns (src_lo, src_hi, e_lo, e_hi, e_union, e_inter, jaccard),
+    * estimates r6-rounded (ratios computed on the raw doubles first).
+    *
+    * Scale shape: ONE pass builds all per-key sketches ([[keyedRegisters]]
+    * — map-side-combined, ≤ |keys|·m integer rows per task); the pair
+    * fan-out joins a broadcast (lo, hi) dimension against the REGISTER
+    * table (≤ |keys|²·m integer rows — data-card scale, never row scale);
+    * nothing revisits the corpus. Inclusion–exclusion inherits the sketch
+    * error (±1.04/√m per term), so small intersections under big unions
+    * are floored at 0 rather than reported negative.
+    */
+  def overlapMatrix(items: DataFrame, key: Column, item: Column,
+      p: Int = 8): DataFrame = {
+    val regs = keyedRegisters(items, key, item, p).localCheckpoint()
+    val spark = items.sparkSession
+    import spark.implicits._
+    val srcs = regs.select(col("src")).distinct()
+      .collect().map(_.getString(0)).sorted // data-card-sized model fit
+    val pairs = broadcast(
+      (for (i <- srcs.indices; j <- (i + 1) until srcs.length)
+        yield (srcs(i), srcs(j))).toDF("src_lo", "src_hi"))
+    val tagged = pairs.join(regs, col("src") === col("src_lo"))
+      .select(col("src_lo"), col("src_hi"), col("bucket"), col("mj"))
+      .unionByName(pairs.join(regs, col("src") === col("src_hi"))
+        .select(col("src_lo"), col("src_hi"), col("bucket"), col("mj")))
+    val eUnion = groupedEstimate(
+      tagged.groupBy("src_lo", "src_hi", "bucket").agg(max("mj").as("mj")),
+      Seq("src_lo", "src_hi"), p)
+      .select(col("src_lo"), col("src_hi"), col("e").as("e_u"))
+    val perSrc = groupedEstimate(regs, Seq("src"), p)
+    val eLo = broadcast(perSrc.select(col("src").as("src_lo"),
+      col("e").as("e_l")))
+    val eHi = broadcast(perSrc.select(col("src").as("src_hi"),
+      col("e").as("e_h")))
+    val inter = greatest(lit(0.0), (col("e_l") + col("e_h")) - col("e_u"))
+    eUnion.join(eLo, "src_lo").join(eHi, "src_hi")
+      .select(col("src_lo"), col("src_hi"),
+        TextAnalysis.r6(col("e_l")).as("e_lo"),
+        TextAnalysis.r6(col("e_h")).as("e_hi"),
+        TextAnalysis.r6(col("e_u")).as("e_union"),
+        TextAnalysis.r6(inter).as("e_inter"),
+        TextAnalysis.r6(inter / col("e_u")).as("jaccard"))
   }
 }

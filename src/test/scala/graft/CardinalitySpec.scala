@@ -69,4 +69,38 @@ class CardinalitySpec extends AnyFunSuite {
     val (occ, e) = est(items(0, 0))
     assert(occ == 0L && e == 0.0)
   }
+
+  test("overlapMatrix: identical sources read jaccard 1.0; disjoint read near 0") {
+    import spark.implicits._
+    // a and b share the SAME 400-item universe; c is disjoint
+    val rows =
+      (0 until 400).map(i => ("a", s"t-$i")) ++
+      (0 until 400).map(i => ("b", s"t-$i")) ++
+      (0 until 400).map(i => ("c", s"u-$i"))
+    val df = rows.toDF("src", "tok")
+    val out = Cardinality.overlapMatrix(df, col("src"), col("tok"))
+      .collect()
+      .map(r => (r.getAs[String]("src_lo"), r.getAs[String]("src_hi")) -> r)
+      .toMap
+    assert(out.size == 3) // (a,b) (a,c) (b,c)
+    val ab = out(("a", "b"))
+    // identical sets: e_lo == e_hi == e_union exactly => jaccard exactly 1
+    assert(ab.getAs[Double]("jaccard") == 1.0)
+    assert(ab.getAs[Double]("e_union") == ab.getAs[Double]("e_lo"))
+    val ac = out(("a", "c"))
+    // disjoint sets: inclusion–exclusion reads ~0 within sketch error
+    // (±6.5% per term at m=256), floored at 0 — never negative
+    assert(ac.getAs[Double]("e_inter") >= 0.0)
+    assert(ac.getAs[Double]("jaccard") < 0.2,
+      s"disjoint jaccard too high: ${ac.getAs[Double]("jaccard")}")
+    // union of disjoint sets estimates above either side
+    assert(ac.getAs[Double]("e_union") > ac.getAs[Double]("e_lo"))
+  }
+
+  test("groupedEstimate with no keys equals estimate") {
+    val regs = Cardinality.registers(items(0, 1000), col("s"))
+    val a = Cardinality.estimate(regs).head()
+    val b = Cardinality.groupedEstimate(regs, Nil).head()
+    assert(a.getLong(0) == b.getLong(0) && a.getDouble(1) == b.getDouble(1))
+  }
 }
