@@ -456,4 +456,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(!c2._3 && c2._5 == 1L && c2._6 == 1L)
     } finally q.stop()
   }
+
+  test("cardinality registers stream: live sketch equals the batch sketch") {
+    // Cardinality.registers is a pure select + max-aggregate, so it
+    // composes UNCHANGED onto a stream: bounded state (≤ m register rows,
+    // monotone max — the mergeability that makes the sketch the streaming
+    // sizing answer). Two overlapping micro-batches must converge to the
+    // batch registers/estimate over the union.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val in = MemoryStream[Long]
+    val regs = graft.operators.Cardinality.registers(
+      in.toDS().toDF("id"), concat(lit("item-"), col("id")))
+    val q = regs.writeStream.format("memory").queryName("card_regs")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(0L until 500L: _*)
+      q.processAllAvailable()
+      in.addData(250L until 1000L: _*) // overlap: duplicates must not move it
+      q.processAllAvailable()
+      val streamedRegs = spark.table("card_regs")
+      val batchRegs = graft.operators.Cardinality.registers(
+        spark.range(0, 1000).toDF("id"), concat(lit("item-"), col("id")))
+      val s = streamedRegs.as[(Long, Int)].collect().toMap
+      val b = batchRegs.as[(Long, Int)].collect().toMap
+      assert(s == b)
+      val es = graft.operators.Cardinality.estimate(streamedRegs).head()
+      val eb = graft.operators.Cardinality.estimate(batchRegs).head()
+      assert(es.getLong(0) == eb.getLong(0) && es.getDouble(1) == eb.getDouble(1))
+    } finally q.stop()
+  }
 }
