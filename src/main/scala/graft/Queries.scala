@@ -529,6 +529,18 @@ object Queries {
         isTarget = col("source").isin("src0", "src1", "src2", "src3"),
         buckets = 8192, alpha = 0.5, topK = 100)),
 
+    // PMI collocations (Church & Hanks 1990): top-50 adjacent-token pairs
+    // by pointwise mutual information with a min-count floor — the
+    // template/boilerplate phrase detector next to q_freq_sketch
+    "q_pmi_collocations" -> ((s, dir) =>
+      CorpusLm.pmiCollocations(documents(s, dir), minCount = 5, topK = 50)),
+
+    // Zipf power-law fit + hapax accounting — the corpus-health row of a
+    // data card: ln-ln least squares over the top-100 token ranks, exact
+    // vocabulary/hapax counts
+    "q_zipf_fit" -> ((s, dir) =>
+      CorpusLm.zipfFit(documents(s, dir), k = 100)),
+
     // language ID (stopword-hit heuristic)
     "q_lang_id" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"), col("lang"),
@@ -2634,6 +2646,59 @@ object Queries {
         |        ntile(3) OVER (PARTITION BY d.lang
         |          ORDER BY bt.bits, bt.doc_id) AS nt
         |      FROM bt JOIN documents d USING (doc_id)) q""".stripMargin,
+
+    // PMI re-derived: same bigram CTE shape as q_lm_bits, integer counts,
+    // one ln over a two-multiply one-divide quotient (identical op
+    // order), raw-double ordering with (w1, w2) tie-break, r6 on output
+    "q_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM toks, unnest(range(1, len(t))) AS u(i)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY 1),
+        |cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+        |sc AS (SELECT w1, w2, c12,
+        |         ln((CAST(c12 AS DOUBLE) * CAST(nn.n AS DOUBLE))
+        |            / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))) AS pmi_raw
+        |       FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nn)
+        |SELECT w1, w2, c12,
+        |  floor(pmi_raw * 1000000 + 0.5) / 1000000 AS pmi
+        |FROM sc ORDER BY pmi_raw DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Zipf fit re-derived: same rank tie-break, RANK-ordered list_reduce
+    // folds (first-element seed ≡ fold-from-0.0), one canonical
+    // slope/intercept op order, r6 on output
+    "q_zipf_fit" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+        |v AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_vocab,
+        |        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |      FROM c),
+        |top AS (SELECT row_number() OVER (ORDER BY cnt DESC, w) AS rank, cnt
+        |        FROM c ORDER BY cnt DESC, w LIMIT 100),
+        |pts AS (SELECT CAST(rank AS BIGINT) AS rank,
+        |          ln(CAST(rank AS DOUBLE)) AS x,
+        |          ln(CAST(cnt AS DOUBLE)) AS y FROM top),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k_fit,
+        |        list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+        |        list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+        |        list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy,
+        |        list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx
+        |      FROM pts)
+        |SELECT v.n_tokens, v.n_vocab, v.n_hapax,
+        |  floor(CAST(v.n_hapax AS DOUBLE) / CAST(v.n_vocab AS DOUBLE) * 1000000 + 0.5) / 1000000 AS hapax_frac,
+        |  f.k_fit,
+        |  floor(((CAST(k_fit AS DOUBLE) * sxy - sx * sy)
+        |         / (CAST(k_fit AS DOUBLE) * sxx - sx * sx)) * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor(((sy - ((CAST(k_fit AS DOUBLE) * sxy - sx * sy)
+        |                / (CAST(k_fit AS DOUBLE) * sxx - sx * sx)) * sx)
+        |         / CAST(k_fit AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS intercept
+        |FROM f, v""".stripMargin,
 
     // DSIR: hashed-unigram importance log-weight re-derived — bucket
     // counts over the same sha60 feature hash, ln-ratio per position in

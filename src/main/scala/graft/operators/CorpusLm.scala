@@ -152,4 +152,108 @@ object CorpusLm {
       .select(col("doc_id"), col("n_toks"),
         TextAnalysis.r6(col("w_raw")).as("weight"))
   }
+
+  /** Top-K collocations by pointwise mutual information (Church & Hanks
+    * 1990, "Word association norms, mutual information, and
+    * lexicography" — public paper): PMI(w1, w2) = ln((c12 · N) /
+    * (cL(w1) · cR(w2))) over the corpus's adjacent-token bigrams, where
+    * c12 is the bigram count, cL/cR the left-/right-slot unigram counts
+    * and N the total bigram count. `minCount` drops the low-count pairs
+    * whose PMI is dominated by noise (the paper's own caveat). Ranking on
+    * the RAW double (pmi desc, then w1/w2), r6 on output.
+    *
+    * Float discipline: every operand is an exact integer below 2^53 cast
+    * to double; the single expression ln((c12·N)/(cL·cR)) is two rounded
+    * multiplies, one divide, one ln — identical op order in the oracle,
+    * `ln` cross-engine stable (BM25/HLL precedent). No data-dependent
+    * float sums at all.
+    *
+    * Scale shape: three map-side-combined count aggregates keyed by
+    * token/pair, a keyed equi-join to decorate pairs with slot counts
+    * (the c12 table is the corpus collocation table — NOT broadcastable
+    * at 100 TB; the shuffle join is the intended shape), a 1-row N
+    * broadcast, and TakeOrderedAndProject for the top-K.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val bg = bigrams(docs)
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val cL = bg.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+    val cR = bg.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+    val n = bg.agg(count(lit(1)).as("n"))
+    val pmi = log((col("c12").cast("double") * col("n").cast("double")) /
+      (col("cl").cast("double") * col("cr").cast("double")))
+    c12.join(cL, Seq("w1")).join(cR, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), pmi.as("pmi_raw"))
+      .orderBy(col("pmi_raw").desc, col("w1"), col("w2")).limit(topK)
+      .select(col("w1"), col("w2"), col("c12"),
+        TextAnalysis.r6(col("pmi_raw")).as("pmi"))
+  }
+
+  /** Zipf power-law fit + hapax accounting — the corpus-health row of a
+    * data card (natural text follows freq ∝ rank^−s with s ≈ 1; template
+    * floods and synthetic soup bend the curve): least-squares slope and
+    * intercept of ln(count) on ln(rank) over the top-`k` tokens (rank
+    * tie-break: token asc), plus exact vocabulary / hapax-legomena counts
+    * (hapax_frac — the one-occurrence fraction, a dedup/quality smell
+    * when it collapses).
+    *
+    * Returns ONE row: (n_tokens, n_vocab, n_hapax, hapax_frac, k_fit,
+    * slope, intercept), floats r6-rounded.
+    *
+    * Float discipline: the four regression sums fold over the top-k rows
+    * in RANK order (sort_array over (rank, x, y) structs, seed 0.0 —
+    * the ordered-fold contract); slope/intercept share one canonical op
+    * order with the oracle.
+    *
+    * Scale shape: one map-side-combined token count, TakeOrderedAndProject
+    * for the top-k (never a global sort), the fold over k ≤ a few hundred
+    * rows in a 1-row aggregate; the exact vocab/hapax counts are one more
+    * count aggregate over the (token, cnt) table — integers only.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = docs
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = counts.agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("w")).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))).cast("long").as("rank"),
+        col("cnt"))
+      .select(col("rank"), log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val folded = top
+      .agg(sort_array(collect_list(struct(col("rank"), col("x"), col("y"))))
+        .as("pts"))
+      .select(size(col("pts")).cast("long").as("k_fit"),
+        aggregate(transform(col("pts"), p => p.getField("x")),
+          lit(0.0), (a, v) => a + v).as("sx"),
+        aggregate(transform(col("pts"), p => p.getField("y")),
+          lit(0.0), (a, v) => a + v).as("sy"),
+        aggregate(transform(col("pts"),
+            p => p.getField("x") * p.getField("y")),
+          lit(0.0), (a, v) => a + v).as("sxy"),
+        aggregate(transform(col("pts"),
+            p => p.getField("x") * p.getField("x")),
+          lit(0.0), (a, v) => a + v).as("sxx"))
+    val kd = col("k_fit").cast("double")
+    val slope = (kd * col("sxy") - col("sx") * col("sy")) /
+      (kd * col("sxx") - col("sx") * col("sx"))
+    val intercept = (col("sy") - slope * col("sx")) / kd
+    folded.crossJoin(broadcast(vocab))
+      .select(col("n_tokens"), col("n_vocab"), col("n_hapax"),
+        TextAnalysis.r6(col("n_hapax").cast("double") /
+          col("n_vocab").cast("double")).as("hapax_frac"),
+        col("k_fit"),
+        TextAnalysis.r6(slope).as("slope"),
+        TextAnalysis.r6(intercept).as("intercept"))
+  }
 }

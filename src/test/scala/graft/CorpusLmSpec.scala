@@ -87,4 +87,46 @@ class CorpusLmSpec extends AnyFunSuite {
     assert(top2.head.getAs[Double]("weight") == r6(0.0 + lp))
     assert(top2(1).getAs[Double]("weight") == r6(0.0 + lp + lp))
   }
+
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("pmiCollocations: closed-form values, raw ranking, w1 tie-break") {
+    // bigrams: (a,b) (a,c) (d,b); N=3, cl(a)=2, cl(d)=1, cr(b)=2, cr(c)=1
+    val d = docs((1L, "en", "s", "a b"), (2L, "en", "s", "a c"),
+      (3L, "en", "s", "d b"))
+    val out = CorpusLm.pmiCollocations(d, minCount = 1, topK = 10).collect()
+    def pmi(c12: Double, cl: Double, cr: Double) =
+      math.log((c12 * 3.0) / (cl * cr))
+    // (a,c) and (d,b) tie at ln(1.5); w1 breaks the tie; (a,b) is negative
+    assert(out.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq
+      == Seq(("a", "c"), ("d", "b"), ("a", "b")))
+    assert(out(0).getAs[Double]("pmi") == r6d(pmi(1, 2, 1)))
+    assert(out(2).getAs[Double]("pmi") == r6d(pmi(1, 2, 2)))
+    assert(out(2).getAs[Double]("pmi") < 0.0)
+    // min-count floor drops everything here
+    assert(CorpusLm.pmiCollocations(d, minCount = 2, topK = 10).count() == 0)
+  }
+
+  test("zipfFit: exact counts and the closed-form ln-ln regression") {
+    // counts: a=4 b=2 c=1 d=1 -> 8 tokens, 4 vocab, 2 hapax
+    val d = docs((1L, "en", "s", "a a a a b b c"), (2L, "en", "s", "d"))
+    val row = CorpusLm.zipfFit(d, k = 100).head()
+    assert(row.getAs[Long]("n_tokens") == 8L)
+    assert(row.getAs[Long]("n_vocab") == 4L)
+    assert(row.getAs[Long]("n_hapax") == 2L)
+    assert(row.getAs[Double]("hapax_frac") == 0.5)
+    assert(row.getAs[Long]("k_fit") == 4L)
+    // same fold order and op order as the operator
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L), (4L, 1L))
+      .map { case (r, c) => (math.log(r.toDouble), math.log(c.toDouble)) }
+    val (sx, sy) = (pts.foldLeft(0.0)(_ + _._1), pts.foldLeft(0.0)(_ + _._2))
+    val sxy = pts.foldLeft(0.0)((a, p) => a + p._1 * p._2)
+    val sxx = pts.foldLeft(0.0)((a, p) => a + p._1 * p._1)
+    val kd = 4.0
+    val slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    assert(row.getAs[Double]("slope") == r6d(slope))
+    assert(row.getAs[Double]("intercept") == r6d((sy - slope * sx) / kd))
+    // a frequency-decaying corpus fits a negative slope
+    assert(row.getAs[Double]("slope") < 0.0)
+  }
 }
