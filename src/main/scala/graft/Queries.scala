@@ -529,6 +529,17 @@ object Queries {
         isTarget = col("source").isin("src0", "src1", "src2", "src3"),
         buckets = 8192, alpha = 0.5, topK = 100)),
 
+    // per-doc unigram entropy (lexical diversity gate): micro-truncated
+    // p·ln p terms summed order-free — exact integers, map-side combine
+    "q_token_entropy" -> ((s, dir) =>
+      CorpusLm.tokenEntropy(documents(s, dir))),
+
+    // per-source KL from the corpus mix — the log-scale sibling of
+    // q_corpus_drift's TVD (surprise, not mass), same micro-integer
+    // discipline so the sum is partition-order-immune
+    "q_source_kl" -> ((s, dir) =>
+      graft.operators.Drift.klVsCorpus(documents(s, dir))),
+
     // PMI collocations (Church & Hanks 1990): top-50 adjacent-token pairs
     // by pointwise mutual information with a min-count floor — the
     // template/boilerplate phrase detector next to q_freq_sketch
@@ -2646,6 +2657,50 @@ object Queries {
         |        ntile(3) OVER (PARTITION BY d.lang
         |          ORDER BY bt.bits, bt.doc_id) AS nt
         |      FROM bt JOIN documents d USING (doc_id)) q""".stripMargin,
+
+    // entropy re-derived: identical per-term op order, micro-truncation
+    // BEFORE the sum (integer aggregate — the order-free discipline),
+    // ceiling/ratio computed after
+    "q_token_entropy" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |cw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_distinct FROM cw GROUP BY 1),
+        |tm AS (SELECT cw.doc_id, nd.n, nd.n_distinct,
+        |    CAST(floor(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS tm
+        |  FROM cw JOIN nd USING (doc_id)),
+        |ag AS (SELECT doc_id, max(n) AS n_tokens, max(n_distinct) AS n_distinct,
+        |         CAST(sum(tm) AS BIGINT) AS hm FROM tm GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  (-CAST(hm AS DOUBLE)) / 1000000.0 AS entropy,
+        |  floor((CASE WHEN n_distinct = 1 THEN 0.0
+        |         ELSE ((-CAST(hm AS DOUBLE)) / 1000000.0) / ln(CAST(n_distinct AS DOUBLE))
+        |         END) * 1000000 + 0.5) / 1000000 AS entropy_norm
+        |FROM ag""".stripMargin,
+
+    // per-source KL re-derived: same counts as q_corpus_drift, identical
+    // per-term op order, micro-integer sum
+    "q_source_kl" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |sc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+        |cc AS (SELECT word, CAST(count(*) AS BIGINT) AS cw FROM tk GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+        |         CAST(count(*) AS BIGINT) AS n_vocab FROM sc GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM cc),
+        |tm AS (SELECT sc.source, ns.n_s, ns.n_vocab,
+        |    CAST(floor(((CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |      * ln((CAST(c AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |           / (CAST(cw AS DOUBLE) * CAST(n_s AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS tm
+        |  FROM sc JOIN cc USING (word) JOIN ns USING (source) CROSS JOIN tt)
+        |SELECT source, max(n_s) AS n_tokens, max(n_vocab) AS n_vocab,
+        |  CAST(sum(tm) AS BIGINT) AS kl_micros,
+        |  CAST(sum(tm) AS DOUBLE) / 1000000.0 AS kl
+        |FROM tm GROUP BY 1""".stripMargin,
 
     // PMI re-derived: same bigram CTE shape as q_lm_bits, integer counts,
     // one ln over a two-multiply one-divide quotient (identical op

@@ -193,6 +193,46 @@ object CorpusLm {
         TextAnalysis.r6(col("pmi_raw")).as("pmi"))
   }
 
+  /** Per-document unigram entropy H = −Σ_w p(w)·ln p(w) over the doc's
+    * own token distribution — the lexical-diversity quality feature
+    * (repetitive template text reads low; varied prose reads near
+    * ln(n_distinct)). Bounded above by ln(n_distinct), so the output also
+    * carries that ceiling and the normalized ratio (0 for the degenerate
+    * single-token doc, where both are 0).
+    *
+    * Float discipline: per-word terms p·ln p are micro-truncated integers
+    * summed order-free (the [[Drift.klVsCorpus]] discipline — exact,
+    * commutative, map-side combinable); the ln(n_distinct) ceiling and
+    * ratio are computed AFTER the integer sum with one canonical op
+    * order.
+    *
+    * Scale shape: two keyed aggregates ((doc, word) then doc) carrying
+    * integers — no per-doc vocabulary ever collects into a row.
+    *
+    * Returns (doc_id, n_tokens, n_distinct, entropy, entropy_norm).
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val cw = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val nd = cw.groupBy(col("doc_id"))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    cw.join(nd, "doc_id")
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        floor((p * log(p)) * 1000000.0 + 0.5).cast("long").as("tm"))
+      .groupBy(col("doc_id"))
+      .agg(max("n").as("n_tokens"), max("n_distinct").as("n_distinct"),
+        sum("tm").as("hm"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (-(col("hm").cast("double")) / lit(1000000.0)).as("entropy"),
+        TextAnalysis.r6(
+          when(col("n_distinct") === 1L, lit(0.0))
+            .otherwise((-(col("hm").cast("double")) / lit(1000000.0)) /
+              log(col("n_distinct").cast("double")))).as("entropy_norm"))
+  }
+
   /** Zipf power-law fit + hapax accounting — the corpus-health row of a
     * data card (natural text follows freq ∝ rank^−s with s ≈ 1; template
     * floods and synthetic soup bend the curve): least-squares slope and

@@ -60,6 +60,50 @@ object Drift {
             / (lit(2.0) * col("n_tokens") * col("n_total"))).as("tvd"))
   }
 
+  /** Per-source KL divergence from the corpus unigram mix,
+    * KL(P_s ‖ P_corpus) = Σ_w p_s(w) · ln(p_s(w) / p_c(w)) — the
+    * log-scale sibling of [[tvdVsCorpus]] (TVD weighs mass moved; KL
+    * weighs surprise, the quantity a perplexity-driven mixing recipe
+    * actually reasons about). Absent words contribute 0 (p_s = 0 and
+    * 0·ln 0 = 0) and every present word has corpus support (c ≤ cw), so
+    * no smoothing is needed: the sum runs over the source's own vocab.
+    *
+    * Float discipline — the ORDER-FREE alternative to the ordered fold:
+    * each per-word term (c/n_s)·ln((c·N)/(cw·n_s)) is micro-truncated to
+    * an exact integer (floor(term·1e6 + 0.5), negative terms floor
+    * deterministically in both engines), and the per-source SUM is an
+    * integer aggregate — commutative, partition-order-immune, map-side
+    * combinable. kl re-scales the micro sum. This is the q_source_report
+    * quality_micros discipline applied to a log-scale statistic, and it
+    * is what keeps the aggregate bounded-state at 100 TB (an ordered
+    * fold would collect a source's whole vocabulary into one row).
+    *
+    * Returns (source, n_tokens, n_vocab, kl_micros, kl).
+    */
+  def klVsCorpus(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val sc = tok.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val cc = tok.groupBy("word").agg(count(lit(1)).as("cw"))
+    val ns = sc.groupBy("source").agg(sum("c").as("n_s"),
+      count(lit(1)).as("n_vocab"))
+    val tot = cc.agg(sum("cw").as("n_total"))
+    val term = (col("c").cast("double") / col("n_s").cast("double")) *
+      log((col("c").cast("double") * col("n_total").cast("double")) /
+        (col("cw").cast("double") * col("n_s").cast("double")))
+    sc.join(cc, "word")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("n_vocab"),
+        floor(term * 1000000.0 + 0.5).cast("long").as("tm"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), max("n_vocab").as("n_vocab"),
+        sum("tm").as("kl_micros"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        col("kl_micros"),
+        (col("kl_micros").cast("double") / lit(1000000.0)).as("kl"))
+  }
+
   /** Vocabulary growth curve across ordered corpus batches (the Heaps'-law
     * face of corpus accounting): per batch, its token volume, within-batch
     * distinct tokens, tokens FIRST seen in that batch, and the cumulative

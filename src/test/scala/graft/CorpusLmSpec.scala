@@ -129,4 +129,26 @@ class CorpusLmSpec extends AnyFunSuite {
     // a frequency-decaying corpus fits a negative slope
     assert(row.getAs[Double]("slope") < 0.0)
   }
+
+  test("tokenEntropy: degenerate, uniform, and diversity ordering") {
+    val d = docs(
+      (1L, "en", "s", "x x x"),     // single distinct token: H = 0
+      (2L, "en", "s", "a a b b"),   // uniform over 2: H = ln 2 (micro-trunc)
+      (3L, "en", "s", "p p p q"),   // skewed over 2: H < ln 2
+      (4L, "en", "s", "k l m n"))   // uniform over 4: H = ln 4
+    val out = CorpusLm.tokenEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("entropy") == 0.0 &&
+      out(1L).getAs[Double]("entropy_norm") == 0.0)
+    // per-term micro truncation: floor(0.5·ln0.5 ·1e6 + 0.5) = -346574
+    assert(out(2L).getAs[Double]("entropy") == 0.693148)
+    assert(out(3L).getAs[Double]("entropy") <
+      out(2L).getAs[Double]("entropy"))
+    assert(out(4L).getAs[Double]("entropy") >
+      out(2L).getAs[Double]("entropy"))
+    // normalized: both uniform docs read ~1 (±1 micro per term)
+    assert(math.abs(out(4L).getAs[Double]("entropy_norm") - 1.0) < 1e-5)
+    assert(out(2L).getAs[Long]("n_tokens") == 4L &&
+      out(2L).getAs[Long]("n_distinct") == 2L)
+  }
 }

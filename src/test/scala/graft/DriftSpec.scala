@@ -27,6 +27,28 @@ class DriftSpec extends AnyFunSuite {
     assert(out == Map("a" -> 0.0, "b" -> 0.0))
   }
 
+  test("kl: a source identical to the corpus mix scores exactly 0") {
+    val d = docs((1L, "a", "x x y"), (2L, "b", "x x y"))
+    val out = Drift.klVsCorpus(d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl")).toMap
+    assert(out == Map("a" -> 0.0, "b" -> 0.0))
+  }
+
+  test("kl: disjoint vocabularies read ln 2 under the micro-integer sum") {
+    // source a = {x,x}, b = {y,y}: every present word has p_s = 1,
+    // p_c = 1/2 => each source's KL = ln 2 (one micro-truncated term)
+    val d = docs((1L, "a", "x x"), (2L, "b", "y y"))
+    val out = Drift.klVsCorpus(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("kl_micros"), r.getAs[Double]("kl"))).toMap
+    val lnTwoMicros = math.floor(
+      (1.0 * math.log((2.0 * 4.0) / (2.0 * 2.0))) * 1e6 + 0.5).toLong
+    assert(out("a") == ((lnTwoMicros, lnTwoMicros / 1e6)))
+    assert(out("b") == out("a"))
+    val row = Drift.klVsCorpus(d).filter(col("source") === "a").head()
+    assert(row.getAs[Long]("n_tokens") == 2L && row.getAs[Long]("n_vocab") == 1L)
+  }
+
   test("tvd: disjoint vocabularies give 1 - own-weight") {
     // source a = {x,x}, source b = {y,y}: corpus = {x:2, y:2}
     // TVD(a) = ½(|1 − ½| + |0 − ½|) = ½
