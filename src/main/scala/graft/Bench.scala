@@ -510,8 +510,8 @@ object Bench {
           roundsRun += 1
           // stop early only once the reading is SETTLED: both legs saw a
           // steal-quiet window AND the running ratio is in the job's
-          // plausible band. Steal-clean alone is not enough — the r6
-          // official window read 0.728 from a 4-core leg at 10.7-12.1s
+          // plausible band. Steal-clean alone is not enough — an r6
+          // validation window read 0.728 from a 4-core leg at 10.7-12.1s
           // with steal ≤0.3s, while same-day quiet windows read 7.6-8.5s
           // (EFF 0.99): co-tenant bandwidth contention is invisible to
           // the steal counter, so an implausibly low ratio with budget to

@@ -636,6 +636,24 @@ object Queries {
         .select(col("doc_id"), col("source"), col("epoch"))
     }),
 
+    // the per-source DATA CARD capstone: quality report ⋈ TVD ⋈ KL ⋈
+    // temperature recipe — the one row per source a mixing decision reads.
+    // Re-runs the verified component queries and joins on source (20-row
+    // joins); the oracle embeds the component oracles as derived tables,
+    // so the capstone can never drift from its parts (the q_knn_recall
+    // pattern).
+    "q_data_card" -> ((s, dir) => {
+      val rep = queries("q_source_report")(s, dir)
+        .select("source", "n_docs", "n_langs", "total_tokens", "mean_quality")
+      val drift = queries("q_corpus_drift")(s, dir)
+        .select(col("source"), col("n_vocab"), col("tvd"))
+      val kl = queries("q_source_kl")(s, dir).select(col("source"), col("kl"))
+      val tmix = queries("q_mix_temperature")(s, dir)
+        .select(col("source"), col("rate_permille"), col("sampled_docs"),
+          col("sampled_tokens"))
+      rep.join(drift, "source").join(kl, "source").join(tmix, "source")
+    }),
+
     // temperature-sampled blend (T = 2, α = 1/2 via IEEE-exact sqrt):
     // per-source acceptance rates FIT from the corpus's own token counts
     // (q_s ∝ √p_s — up-weights small sources), then the deterministic mix
@@ -3189,7 +3207,17 @@ object Queries {
   // oracleBase: object-init order — see CLAUDE.md)
   val oracleSql: Map[String, String] = oracleBase +
     ("q_decontaminate_bloom" -> oracleBase("q_decontaminate")) +
-    ("q_dedup_clusters_star" -> oracleBase("q_dedup_clusters"))
+    ("q_dedup_clusters_star" -> oracleBase("q_dedup_clusters")) +
+    // data card: the component oracles embedded verbatim as derived
+    // tables — the capstone cannot drift from its verified parts
+    ("q_data_card" ->
+      s"""SELECT r.source, r.n_docs, r.n_langs, r.total_tokens,
+         |  r.mean_quality, d.n_vocab, d.tvd, k.kl,
+         |  t.rate_permille, t.sampled_docs, t.sampled_tokens
+         |FROM (${oracleBase("q_source_report")}) r
+         |JOIN (${oracleBase("q_corpus_drift")}) d ON d.source = r.source
+         |JOIN (${oracleBase("q_source_kl")}) k ON k.source = r.source
+         |JOIN (${oracleBase("q_mix_temperature")}) t ON t.source = r.source""".stripMargin)
 
   /** Oracle body for the periodic-fixture FSM queries: `lineExpr` rebuilds
     * the synthetic line from turn_idx, `segExpr` is the closed-form record
