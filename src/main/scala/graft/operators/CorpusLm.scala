@@ -31,10 +31,13 @@ import graft.functions.Hashing
   * exact below 2^53.
   *
   * Scale shape: all count tables are map-side-combined aggregates keyed by
-  * token/bucket; the per-position probability lookup is a keyed equi-join
-  * (a corpus-derived bigram table is NOT broadcastable at 100 TB — the
-  * shuffle join on (w1, w2) is the intended shape, though AQE may
-  * broadcast it at test SF); corpus totals are one-row aggregates joined
+  * 8-byte hashes of the token / pair / bucket (row-scale exchanges never
+  * carry text — xxhash64 where the key is engine-internal, the sha60
+  * kernel where the oracle must re-derive it); the per-position
+  * probability lookup is a keyed equi-join (a corpus-derived bigram table
+  * is NOT broadcastable at 100 TB — the shuffle join on the pair hash is
+  * the intended shape, though AQE may broadcast it at test SF); corpus
+  * totals are one-row aggregates joined
   * by literal crossJoin+broadcast; the per-doc reduction is one groupBy.
   * The tercile window partitions by language — bounded cardinality, and at
   * extreme scale the cutoff variant (rank thresholds from the
@@ -72,9 +75,24 @@ object CorpusLm {
     * tokens.
     */
   def bigramBits(docs: DataFrame, alpha: Double = 0.1): DataFrame = {
-    val bg = bigrams(docs)
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
-    val c2 = bg.groupBy(col("w1"), col("w2"))
+    // the bigram instances are ROW-SCALE: hash both join keys to 8 bytes
+    // before any exchange (the dedup-family "never shuffle text"
+    // discipline) — the w1-slot key and the (w1, w2) pair key each become
+    // one hash, so the two count aggregates and the two probability joins
+    // move integers only. These keys are ENGINE-INTERNAL (the oracle
+    // re-derives the same lp values from string-keyed counts — only count
+    // equality matters, never the key bits), which frees them from the
+    // cross-engine sha60 kernel: xxhash64 is codegen'd and far cheaper
+    // per row (a sha60 version of these keys measured 2× the whole
+    // query). A 64-bit collision would merely merge two bigram counts
+    // (statistical noise, the accepted hash-key risk class); the lit
+    // salts keep the two key spaces disjoint and multi-arg xxhash64
+    // hashes fields positionally, so no separator is needed.
+    val bg = bigrams(docs).select(col("doc_id"), col("pos"),
+      xxhash64(lit("u"), col("w1")).as("h1"),
+      xxhash64(lit("b"), col("w1"), col("w2")).as("h12"))
+    val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).cast("double").as("c1"))
+    val c2 = bg.groupBy(col("h12"))
       .agg(count(lit(1)).cast("double").as("c2"))
     // V counts distinct tokens in EITHER bigram slot == distinct tokens
     // of every ≥2-token doc (every token is a w1 or the final w2) — the
@@ -88,8 +106,8 @@ object CorpusLm {
       .agg(countDistinct("w").cast("double").as("v"))
     val lp = log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v")))
     val scored = bg
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(c2, Seq("h12"))
+      .join(c1, Seq("h1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), struct(col("pos"), lp.as("lp")).as("plp"))
       .groupBy("doc_id")
