@@ -454,7 +454,12 @@ object Bench {
         // Up to `rounds` rounds give each leg more than one chance at a
         // quiet window; a round only starts when the budget fits it, and
         // NO leg iteration is deadline-exempt (r5's overrun source).
-        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+        // cap 6 (was 3, then 4): each extra round only ever IMPROVES the
+        // min-per-leg reading and the deadline gate already bounds wall —
+        // at the driver's 1500s budget ~5 full-size rounds fit after the
+        // query phase, and contended evenings need the extra windows
+        // (same-day readings ranged 0.77 → 0.84 with 2 vs 1 rounds run)
+        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "6").toInt
         def measure(cores: Int, estimate: Double): Meas = {
           if (remainingWorkSec < estimate * 1.3 + sessionOverheadSec)
             return MeasEmpty
