@@ -64,6 +64,10 @@ object ConfigLoader {
     "collector.curation.cdc-window", "collector.curation.cdc-divisor",
     "collector.curation.bm25-k1", "collector.curation.bm25-b",
     "collector.curation.conv-bucket-width",
+    "collector.curation.span-k", "collector.curation.mix-budget-permille",
+    "collector.curation.lm-alpha", "collector.curation.dsir-buckets",
+    "collector.curation.dsir-alpha", "collector.curation.pmi-min-count",
+    "collector.curation.zipf-k",
     "sink.batch-size", "sink.batch-interval", "sink.retries",
     "prometheus.enable", "prometheus.addr")
 
@@ -82,7 +86,10 @@ object ConfigLoader {
     "collector.sketch.hll-p", "collector.sketch.expected-distinct",
     "collector.curation.outlier-k", "collector.curation.winnow-k",
     "collector.curation.winnow-w", "collector.curation.cdc-window",
-    "collector.curation.cdc-divisor", "collector.curation.conv-bucket-width")
+    "collector.curation.cdc-divisor", "collector.curation.conv-bucket-width",
+    "collector.curation.span-k", "collector.curation.mix-budget-permille",
+    "collector.curation.dsir-buckets", "collector.curation.pmi-min-count",
+    "collector.curation.zipf-k")
 
   val sinkKinds: Set[String] =
     Set("console", "file", "clickhouse", "opensearch", "parquet")
@@ -302,7 +309,15 @@ object ConfigLoader {
       k1 <- lk.dbl("collector.curation.bm25-k1", 1.2)
       b <- lk.dbl("collector.curation.bm25-b", 0.75)
       bw <- lk.int("collector.curation.conv-bucket-width", 4096)
-    } yield Some(graft.model.CurationSpec(qr, ok, wk, ww, cw, cd, k1, b, bw))
+      sk <- lk.int("collector.curation.span-k", 8)
+      mb <- lk.int("collector.curation.mix-budget-permille", 500)
+      la <- lk.dbl("collector.curation.lm-alpha", 0.1)
+      db <- lk.int("collector.curation.dsir-buckets", 8192)
+      da <- lk.dbl("collector.curation.dsir-alpha", 0.5)
+      pm <- lk.long("collector.curation.pmi-min-count", 5L)
+      zk <- lk.int("collector.curation.zipf-k", 100)
+    } yield Some(graft.model.CurationSpec(qr, ok, wk, ww, cw, cd, k1, b, bw,
+      sk, mb, la, db, da, pm, zk))
   }
 
   /** poll-interval > 0 and workers >= 1 when set — validated for parity;

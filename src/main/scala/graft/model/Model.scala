@@ -352,7 +352,27 @@ final case class CurationSpec(
     cdcDivisor: Long = 4L,
     bm25K1: Double = 1.2,
     bm25B: Double = 0.75,
-    convBucketWidth: Int = 4096) {
+    convBucketWidth: Int = 4096,
+    /** Span-scrub block size (tokens): the duplicated-span removal grain
+      * AND the short-span floor — spans shorter than `spanK` are never
+      * treated as duplication evidence (Lee et al.'s minimum match
+      * length), so 1 would scrub every repeated single token.
+      */
+    spanK: Int = 8,
+    /** Temperature-mix token budget as a permille of the corpus. */
+    mixBudgetPermille: Int = 500,
+    /** Add-α for the CCNet bigram model; NaN fails the > 0 check. */
+    lmAlpha: Double = 0.1,
+    /** DSIR hashed-feature buckets — sizes the count tables; too few
+      * buckets alias unrelated tokens into one importance estimate.
+      */
+    dsirBuckets: Int = 8192,
+    /** Add-α for the DSIR bucket counts. */
+    dsirAlpha: Double = 0.5,
+    /** PMI min pair count: below it, PMI is noise (Church & Hanks). */
+    pmiMinCount: Long = 5L,
+    /** Zipf-fit rank depth. */
+    zipfK: Int = 100) {
   def validate(): Either[String, CurationSpec] =
     if (quantileRate <= 0.0 || quantileRate > 1.0)
       Left("curation quantile-rate must be in (0, 1]")
@@ -366,6 +386,15 @@ final case class CurationSpec(
       Left("curation bm25-b must be in [0, 1]")
     else if (convBucketWidth < 1)
       Left("curation conv-bucket-width must be >= 1")
+    else if (spanK < 2) Left("curation span-k must be >= 2")
+    else if (mixBudgetPermille < 0 || mixBudgetPermille > 1000)
+      Left("curation mix-budget-permille must be in [0, 1000]")
+    else if (!(lmAlpha > 0.0)) Left("curation lm-alpha must be > 0")
+    else if (dsirBuckets < 16)
+      Left("curation dsir-buckets must be >= 16")
+    else if (!(dsirAlpha > 0.0)) Left("curation dsir-alpha must be > 0")
+    else if (pmiMinCount < 1) Left("curation pmi-min-count must be >= 1")
+    else if (zipfK < 2) Left("curation zipf-k must be >= 2")
     else Right(this)
 }
 

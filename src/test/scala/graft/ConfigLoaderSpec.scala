@@ -145,6 +145,43 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(env.curation.exists(_.outlierK == 5))
   }
 
+  test("curation section: round-6 operator sizing keys parse and validate") {
+    val cfg = loadText(
+      """[collector.curation]
+        |span-k = 16
+        |mix-budget-permille = 250
+        |lm-alpha = 0.5
+        |dsir-buckets = 65536
+        |dsir-alpha = 1.0
+        |pmi-min-count = 10
+        |zipf-k = 200
+        |""".stripMargin).toOption.get
+    val cu = cfg.curation.get
+    assert(cu.spanK == 16 && cu.mixBudgetPermille == 250 &&
+      cu.lmAlpha == 0.5 && cu.dsirBuckets == 65536 && cu.dsirAlpha == 1.0 &&
+      cu.pmiMinCount == 10L && cu.zipfK == 200)
+    // defaults when keys absent but section present
+    val part = loadText("[collector.curation]\nspan-k = 4\n").toOption.get
+    val pu = part.curation.get
+    assert(pu.spanK == 4 && pu.mixBudgetPermille == 500 &&
+      pu.dsirBuckets == 8192 && pu.pmiMinCount == 5L && pu.zipfK == 100)
+    // range rules: 1-token spans, out-of-range budget, degenerate buckets
+    assert(loadText("[collector.curation]\nspan-k = 1\n")
+      .swap.toOption.get.contains("span-k"))
+    assert(loadText("[collector.curation]\nmix-budget-permille = 1001\n")
+      .swap.toOption.get.contains("mix-budget-permille"))
+    assert(loadText("[collector.curation]\ndsir-buckets = 8\n")
+      .swap.toOption.get.contains("dsir-buckets"))
+    assert(loadText("[collector.curation]\nlm-alpha = 0.0\n")
+      .swap.toOption.get.contains("lm-alpha"))
+    assert(loadText("[collector.curation]\nzipf-k = 1\n")
+      .swap.toOption.get.contains("zipf-k"))
+    // NaN alpha fails the > 0 check (the DedupStageSpec precedent)
+    assert(ConfigLoader.load(None,
+      Map("GRAFT_COLLECTOR_CURATION_DSIR_ALPHA" -> "NaN"), Map.empty)
+      .swap.toOption.get.contains("dsir-alpha"))
+  }
+
   test("sketch section: parsed, defaulted, and saturation-validated") {
     val cfg = loadText(
       """[collector.sketch]
