@@ -180,6 +180,57 @@ object Probe {
     s.stop()
   }
 
+  /** `Probe grow [factors-csv] [names...]` — DATA-linearity evidence, the
+    * complement of the core-scaling ladder: materialize the sf0.1 corpus
+    * at f× (documents/embeddings replicated under shifted ids so dedup
+    * finds f−1 planted copies of everything — the WORST case for the
+    * dedup family, since candidate sets actually grow; other tables
+    * copied through), then time the named queries at each factor. A
+    * scale-path query should grow ~linearly in f; a quadratic one
+    * explodes visibly. Defaults: factors 1,3,10 and a documents-grain
+    * slice of the dedup/curation family. min-of-3, steal-annotated.
+    */
+  private def grow(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val factors = args.headOption.getOrElse("1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val names = if (args.length <= 1)
+      Seq("q_dedup_exact", "q_dedup_minhash", "q_span_scrub", "q_lm_bits",
+        "q_token_entropy", "q_mix_temperature")
+    else args.drop(1).toSeq
+    val s = session(cpus)
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-grow-$f"
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      (0 until f).map(i => docs.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+        .repartition(cpus * 2)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val embs = s.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until f).map(i => embs.withColumn("vec_id",
+          col("vec_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val src = new java.io.File(sfDir)
+      src.listFiles().filter(ff => ff.getName.endsWith(".parquet") &&
+          ff.getName != "documents.parquet" && ff.getName != "embeddings.parquet")
+        .foreach { ff =>
+          java.nio.file.Files.copy(ff.toPath,
+            java.nio.file.Paths.get(dir, ff.getName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      names.foreach { n =>
+        val fn = graft.SparkEntry.queries(n)
+        val ts = (1 to 3).map(_ => timed(fn(s, dir).count()))
+        println(f"[grow] x$f $n min=${ts.map(_._1).min}%.2f all=${fmt(ts)}")
+      }
+    }
+    s.stop()
+  }
+
   private def queries(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -198,6 +249,7 @@ object Probe {
     case Some("scale") => scale(args.drop(1))
     case Some("synth") => synth(args.drop(1))
     case Some("skew") => skew(args.drop(1))
+    case Some("grow") => grow(args.drop(1))
     case _ => scale(args)
   }
 }
