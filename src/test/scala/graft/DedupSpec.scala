@@ -37,6 +37,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((5L, 1005L)))
   }
 
+  test("prefix-filtered ngram jaccard equals the naive inverted-index computation") {
+    // the r7 AllPairs/PPJoin rewrite must return the IDENTICAL pair set and
+    // jaccard values as the naive shape it replaced: explode string
+    // shingles, self-join on shingle equality, per-pair intersection counts
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val sizes = sets.select($"id", size($"sh").as("sz"))
+    val inv = sets.select($"id", explode($"sh").as("s"))
+    val naive = inv.as("l").join(inv.as("r"),
+        $"l.s" === $"r.s" && $"l.id" < $"r.id")
+      .groupBy($"l.id".as("a"), $"r.id".as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"sza" + $"szb" - $"inter"))
+      .filter($"jaccard" >= 0.6)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val fast = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty) // the planted pairs guarantee a non-trivial check
+  }
+
   test("minhash LSH over hashed shingles verifies the same pairs as exact jaccard") {
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.6)
       .select("a", "b").as[(Long, Long)].collect().toSet
