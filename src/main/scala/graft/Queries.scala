@@ -1004,8 +1004,11 @@ object Queries {
       val uniq = Dedup.exactDeduped(corpus, "doc_id", "text").cache()
       val pairs = Dedup.minhashLsh(uniq, "doc_id", "text",
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.6)
+      // keep feeds BOTH the repetition branch and the quality branch of the
+      // final join — cached, or the LSH candidate join + anti-join above it
+      // run twice (one per branch; measured ~1s at sf0.1)
       val keep = uniq.join(pairs.select(col("b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti").cache()
       val rep = TextAnalysis.repetition(keep, "doc_id", "text")
       val h = Hashing.sha60(
         concat(lit("split:"), col("doc_id").cast("string"))) % 1000

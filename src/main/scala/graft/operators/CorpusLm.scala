@@ -79,13 +79,17 @@ object CorpusLm {
     // before any exchange (the dedup-family "never shuffle text"
     // discipline) — the w1-slot key and the (w1, w2) pair key each become
     // one hash, so the two count aggregates and the two probability joins
-    // move integers only. These keys are ENGINE-INTERNAL (the oracle
-    // re-derives the same lp values from string-keyed counts — only count
-    // equality matters, never the key bits), which frees them from the
-    // cross-engine sha60 kernel: xxhash64 is codegen'd and far cheaper
-    // per row (a sha60 version of these keys measured 2× the whole
-    // query). A 64-bit collision would merely merge two bigram counts
-    // (statistical noise, the accepted hash-key risk class); the lit
+    // move integers only. The key BITS never surface (the oracle
+    // re-derives lp from string-keyed counts), so the cross-engine sha60
+    // kernel is not required and codegen'd xxhash64 wins (a sha60 version
+    // of these keys measured 2× the whole query). The accepted risk is
+    // sharper than for purely internal join keys, though: a 64-bit
+    // collision would MERGE two counts on the Spark side only and shift
+    // lp/bits away from the string-keyed oracle — a correctness
+    // divergence, not just noise. Odds are ~|bigrams|²/2^64 (birthday
+    // bound ~2^-20 even at 10^11 distinct bigrams) and the oracle gate
+    // verifies the shipped corpora exactly; a corpus past that scale
+    // should gate this path on sha60-style wider keys instead. The lit
     // salts keep the two key spaces disjoint and multi-arg xxhash64
     // hashes fields positionally, so no separator is needed.
     val bg = bigrams(docs).select(col("doc_id"), col("pos"),
@@ -133,8 +137,11 @@ object CorpusLm {
     * hashed-unigrams log-likelihood ratio of §3 of the paper. The target
     * distribution is the rows matching `isTarget` (a curated slice, e.g.
     * a known-good source set); raw is the whole corpus. Every token has
-    * rc ≥ 1 (raw covers the corpus) but tc may be 0 — the left join +
-    * coalesce is load-bearing. The fold is in token-position order.
+    * rc ≥ 1 (raw covers the corpus) but tc may be 0 — covered by the
+    * conditional sum inside the single rc aggregate (tc is the
+    * when(tgt)-gated count of the same rows, so a bucket with no target
+    * hits carries tc = 0 through the inner join and add-α smooths it).
+    * The fold is in token-position order.
     *
     * Returns the `topK` most target-like docs:
     * (doc_id, n_toks, weight r6-rounded), ranked by raw weight with

@@ -264,6 +264,31 @@ object Dedup {
         .collect().map(_.getString(0)).toSeq
     }
 
+  /** Run independent Spark actions concurrently and wait for all of them —
+    * the overlap-independent-jobs discipline: a store commit's component
+    * writes (and a compaction's per-part merges) have no data dependency,
+    * so running them from a small thread pool turns N sequential
+    * job-latency payments into one. Exceptions propagate to the caller.
+    */
+  private def parallelJobs(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+    ()
+  }
+
+  /** Scale-adaptive output sizing for store-commit writes: an AQE-coalesced
+    * repartition on the row key lets adaptive execution size the commit's
+    * files by advisory partition bytes — ONE file for a fixture-sized
+    * commit, ~64 MB files for a billion-hash batch — instead of one tiny
+    * file per upstream partition (the small-files anti-pattern: every later
+    * campaign read pays per-file open + `mergeSchema` footer costs
+    * O(files), and a long campaign reads each commit many times).
+    */
+  private def sized(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key))
+
   /** Atomic store publish: write under `_tmp-<id>`, one rename to
     * `seen-<id>` — the LineageStore commit-point pattern. A crash mid-write
     * leaves only an unread `_tmp-*` dir, never partial seen state.
@@ -356,8 +381,8 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     cleanTmp(fs, root)
     compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
-      spark.read.option("mergeSchema", "true")
-        .parquet(old.map(_.toString): _*).distinct()
+      sized(spark.read.option("mergeSchema", "true")
+          .parquet(old.map(_.toString): _*).distinct(), "content_h60")
         .write.mode("overwrite").parquet(tmp.toString)
     }
     val dirs = listSeen(fs, root).map(_.toString)
@@ -372,6 +397,10 @@ object Dedup {
     val commit = () => try {
       if (!fresh.isEmpty)
         commitSeen(fs, root) { tmp =>
+          // no `sized` here: a per-batch exact commit is one small write
+          // and the repartition exchange costs more than the file-count
+          // saving — commit-dir file sizing is enforced at COMPACTION
+          // (the accretion control point a long campaign actually hits)
           fresh.select(col("content_h60"), srcExpr)
             .write.mode("overwrite").parquet(tmp.toString)
           writeSrcs(fs, tmp, distinctSrcs(fresh, srcCol))
@@ -426,7 +455,7 @@ object Dedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     cleanTmp(fs, root)
     compactSeen(fs, root, maxSeenDirs) { (old, tmp) =>
-      Seq("bands", "sets", "exact").foreach { part =>
+      parallelJobs(Seq("bands", "sets", "exact").map { part => () =>
         // stores written before the exact component existed lack the
         // subdir — merge what exists, never fail on the gap; mergeSchema
         // unifies pre-provenance dirs (no src) with provenance dirs
@@ -434,10 +463,11 @@ object Dedup {
           .map(d => s"$d/$part")
         if (srcs.nonEmpty) {
           val merged = spark.read.option("mergeSchema", "true").parquet(srcs: _*)
-          (if (part == "exact") merged.distinct() else merged)
+          sized(if (part == "exact") merged.distinct() else merged,
+              if (part == "exact") "content_h60" else "id")
             .write.mode("overwrite").parquet(new Path(tmp, part).toString)
         }
-      }
+      }: _*)
     }
     val seenDirs = listSeen(fs, root)
     // 1) within-batch exact dedup + 2) exact-store pre-filter: identical
@@ -488,18 +518,29 @@ object Dedup {
     val commit = () => try {
       if (!fresh.isEmpty) {
         // provenance rides every component row so retractSources can
-        // rewrite all three in one pass (src = null without srcCol)
+        // rewrite all three in one pass. Without srcCol the src column is a
+        // null LITERAL — attaching it via the freshSrc join would pay two
+        // extra join exchanges per commit for a constant
         val srcExpr = srcCol.map(col).getOrElse(lit(null)).cast("string").as("src")
-        val freshSrc = fresh.select(col(idCol).as("id"), srcExpr)
         val freshSets = sets.join(fresh.select(col(idCol).as("id")),
           Seq("id"), "left_semi")
+        def withSrc(dfc: DataFrame): DataFrame = srcCol match {
+          case None => dfc.withColumn("src", lit(null).cast("string"))
+          case Some(_) =>
+            dfc.join(fresh.select(col(idCol).as("id"), srcExpr), "id")
+        }
         commitSeen(fs, root) { tmp =>
-          bandRowsOf(freshSets, bands, rowsPerBand).join(freshSrc, "id")
-            .write.mode("overwrite").parquet(new Path(tmp, "bands").toString)
-          freshSets.join(freshSrc, "id")
-            .write.mode("overwrite").parquet(new Path(tmp, "sets").toString)
-          fresh.select(col("__h60").as("content_h60"), srcExpr)
-            .write.mode("overwrite").parquet(new Path(tmp, "exact").toString)
+          // the three component writes are independent jobs over the same
+          // cached frames — submit them concurrently (guide §2.6: actions
+          // are only sequential because the driver calls them sequentially)
+          // so the commit's wall time is the slowest write, not the sum
+          parallelJobs(
+            () => withSrc(bandRowsOf(freshSets, bands, rowsPerBand))
+              .write.mode("overwrite").parquet(new Path(tmp, "bands").toString),
+            () => withSrc(freshSets)
+              .write.mode("overwrite").parquet(new Path(tmp, "sets").toString),
+            () => fresh.select(col("__h60").as("content_h60"), srcExpr)
+              .write.mode("overwrite").parquet(new Path(tmp, "exact").toString))
           writeSrcs(fs, tmp, distinctSrcs(fresh, srcCol))
         }
       }
@@ -556,12 +597,15 @@ object Dedup {
         val survivorSrcs = readSrcs(fs, d).map(s => (s -- srcSet).toSeq)
         val isMinhash = fs.exists(new Path(d, "bands"))
         commitSeen(fs, root) { tmp =>
+          // rewrites are 1:1 with the dir they replace — keep the source
+          // dir's partitioning (no `sized` exchange; see the exact-commit
+          // note above) and overlap the three component rewrites
           if (isMinhash)
-            Seq("bands", "sets", "exact").foreach { part =>
+            parallelJobs(Seq("bands", "sets", "exact").map { part => () =>
               if (fs.exists(new Path(d, part)))
                 keep(spark.read.parquet(s"$d/$part"))
                   .write.mode("overwrite").parquet(new Path(tmp, part).toString)
-            }
+            }: _*)
           else
             keep(spark.read.parquet(d.toString))
               .write.mode("overwrite").parquet(tmp.toString)
@@ -1232,9 +1276,14 @@ object Dedup {
     */
   def spanScrub(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val nb = (size(TextAnalysis.tokens(col(textCol))) / k).cast("int")
-    val toks = df.select(col(idCol),
-        TextAnalysis.tokens(col(textCol)).as("__t"), nb.as("__nb"))
+    // token array staged through a Generate barrier: the block-hash and
+    // reconstruction lambdas below reference it, and an aliased tokens
+    // expression would be inlined by CollapseProject — one regex split per
+    // BLOCK instead of per row (the repetition/ngramJaccard trap)
+    val staged = df.select(col(idCol),
+      explode(array(TextAnalysis.tokens(col(textCol)))).as("__t"))
+    val toks = staged.select(col(idCol), col("__t"),
+        (size(col("__t")) / k).cast("int").as("__nb"))
       .select(col(idCol), col("__t"), col("__nb"),
         size(col("__t")).cast("long").as("n_tokens"),
         // sequence(0, -1) DESCENDS in Spark — guard zero-block docs

@@ -131,6 +131,16 @@ object Mixing {
       .map(r => (r.getAs[String]("_tm_source"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_tokens")))
       .sortBy(_._1)
+    // empty input: return an empty recipe (matching schema) instead of
+    // tripping mixBySource's non-empty-rate-table require with a message
+    // about a table the caller never passed
+    if (counts.isEmpty) {
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      return Seq.empty[(String, Long, Long, Int, Long, Long)]
+        .toDF("source", "n_docs", "n_tokens", "rate_permille",
+          "sampled_docs", "sampled_tokens")
+    }
     val total = counts.map(_._3).sum
     val budget = total * budgetPermille / 1000 // integer floor, exact
     val sumSqrt = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._3.toDouble))

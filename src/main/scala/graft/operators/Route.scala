@@ -69,16 +69,39 @@ object Route {
     * accounting (internal/metrics/collector_metrics.go:9-88,
     * cmd/freader/metrics/metrics.go:11-120): rows delivered and payload
     * bytes (line length, separators excluded — collector.go:79-81).
-    * Single pass: explode the accepting-sink set, one shuffle.
+    *
+    * Single pass as one PIVOTED aggregate: each rule contributes a
+    * conditional (rows, bytes) aggregate pair per route_key, unpivoted to
+    * (sink, route_key) rows after the aggregation. Versus the previous
+    * explode-the-accepting-set shape this removes a Generate from the hot
+    * path and feeds the partial aggregation |rules|× fewer rows — the
+    * rows entering the exchange are identical (|sinks|·|route_keys|
+    * partials). A (sink, route_key) pair with zero accepted rows is
+    * filtered out, exactly the groups the explode formulation never
+    * created; `rows_delivered` is a conditional sum over ≥1-row groups,
+    * so the emitted values equal the old `count(1)` per group.
     */
-  def sinkCounts(routedDf: DataFrame, rules: Seq[SinkRule]): DataFrame =
-    routedDf
-      .select(col("route_key"), length(col("text")).as("len"),
-        explode(acceptingSinks(rules, col("text"))).as("sink"))
-      .groupBy(col("sink"), col("route_key"))
-      .agg(count(lit(1)).as("rows_delivered"),
-        sum(col("len")).as("bytes_delivered"))
-      .select("sink", "route_key", "rows_delivered", "bytes_delivered")
+  def sinkCounts(routedDf: DataFrame, rules: Seq[SinkRule]): DataFrame = {
+    val empty = routedDf.sparkSession.emptyDataFrame
+      .select(lit("").as("sink"), lit("").as("route_key"),
+        lit(0L).as("rows_delivered"), lit(0L).as("bytes_delivered"))
+    if (rules.isEmpty) return empty
+    val len = length(col("text")).cast("long")
+    val aggs = rules.flatMap { r =>
+      val p = sinkPredicate(r, col("text"))
+      Seq(sum(when(p, 1L).otherwise(0L)).as(s"__c_${r.name}"),
+        sum(when(p, len).otherwise(0L)).as(s"__b_${r.name}"))
+    }
+    routedDf.groupBy(col("route_key")).agg(aggs.head, aggs.tail: _*)
+      .select(col("route_key"), explode(array(rules.map(r =>
+        struct(lit(r.name).as("sink"),
+          col(s"__c_${r.name}").as("rows_delivered"),
+          col(s"__b_${r.name}").as("bytes_delivered"))): _*)).as("__s"))
+      .filter(col("__s.rows_delivered") > 0)
+      .select(col("__s.sink").as("sink"), col("route_key"),
+        col("__s.rows_delivered").as("rows_delivered"),
+        col("__s.bytes_delivered").as("bytes_delivered"))
+  }
 
   /** Overall accounting invariant inputs (SURVEY §5.6):
     * input == delivered_once + blank + excluded-per-rule. Returns one row:

@@ -126,11 +126,19 @@ object TextAnalysis {
     * burn quadratic CPU per long document instead.
     */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = tokens(col(textCol))
+    // token array staged through a Generate barrier: the line and bigram
+    // lambdas below reference it, and an ALIASED tokens expression would be
+    // inlined by CollapseProject and the regex split re-evaluated once per
+    // line window / bigram (measured 1.45s → 0.35s for this operator at
+    // sf0.1 inside q_curate_full); a Generate output attribute is evaluated
+    // once per row and projections never merge across Generate
+    val staged = df.select(col(idCol),
+      explode(array(tokens(col(textCol)))).as("w"))
+    val words = col("w")
     val nLines = ceil(size(words) / 10.0).cast("long")
     val lines = transform(sequence(lit(0L), nLines - 1),
       j => array_join(slice(words, (j * 10 + 1).cast("int"), lit(10)), " "))
-    val base = df.select(col(idCol), words.as("w"), nLines.as("n_lines"),
+    val base = staged.select(col(idCol), words, nLines.as("n_lines"),
       size(array_distinct(lines)).cast("long").as("n_uniq_lines"))
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(1), size(col("w")) - 1),

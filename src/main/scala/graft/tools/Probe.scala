@@ -191,7 +191,7 @@ object Probe {
     * slice of the dedup/curation family. min-of-3, steal-annotated.
     */
   private def grow(args: Array[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, max}
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val factors = args.headOption.getOrElse("1,3,10")
@@ -204,14 +204,21 @@ object Probe {
     factors.foreach { f =>
       val dir = s"/tmp/graft-grow-$f"
       val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      // replica id offset derived from the data: a corpus whose ids exceed
+      // a fixed offset would silently collide replica ids and deflate the
+      // planted-duplicate worst case this ladder claims to measure
+      val docOff = math.max(10000000L,
+        docs.agg(max("doc_id")).first().getLong(0) + 1)
       (0 until f).map(i => docs.withColumn("doc_id",
-          col("doc_id") + lit(i.toLong * 10000000L)))
+          col("doc_id") + lit(i.toLong * docOff)))
         .reduce(_ unionByName _)
         .repartition(cpus * 2)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val embs = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val embOff = math.max(10000000L,
+        embs.agg(max("vec_id")).first().getLong(0) + 1)
       (0 until f).map(i => embs.withColumn("vec_id",
-          col("vec_id") + lit(i.toLong * 10000000L)))
+          col("vec_id") + lit(i.toLong * embOff)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       val src = new java.io.File(sfDir)
