@@ -149,6 +149,13 @@ object CorpusLm {
     */
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 8192,
       alpha: Double = 0.5, topK: Int = 100): DataFrame = {
+    // totals reduce the bucket table rc instead of re-scanning the corpus:
+    // rt/tt are sums of exact integer-valued doubles < 2^53 over ≤`buckets`
+    // rows — bit-identical to counting the token rows, one full sha60 pass
+    // cheaper. (An explicit repartition(f) to also share the rc/join
+    // exchange was measured SLOWER: AQE coalesces the tiny shuffle to one
+    // partition and serializes everything downstream; the rc side stays a
+    // broadcast instead.)
     val toks = docs
       .select(col("doc_id"), isTarget.as("tgt"),
         TextAnalysis.tokens(col("text")).as("toks"))
@@ -159,9 +166,9 @@ object CorpusLm {
     val rc = toks.groupBy("f").agg(
       count(lit(1)).cast("double").as("rc"),
       sum(when(col("tgt"), 1L).otherwise(0L)).cast("double").as("tc"))
-    val totals = toks.agg(
-      count(lit(1)).cast("double").as("rt"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).cast("double").as("tt"))
+    val totals = rc.agg(
+      sum(col("rc")).as("rt"),
+      sum(col("tc")).as("tt"))
     val ab = lit(alpha * buckets)
     val lp = log(col("tc") + lit(alpha)) - log(col("tt") + ab) -
       (log(col("rc") + lit(alpha)) - log(col("rt") + ab))

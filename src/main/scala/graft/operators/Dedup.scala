@@ -854,14 +854,11 @@ object Dedup {
         col("j_micros").cast("double") / (col("n_pairs") * 1000000.0)))
   }
 
-  /** Per-band LSH value: the band's signature rows folded with an affine
-    * step mod P. Collisions only ADD candidates, and every candidate is
-    * verified with exact Jaccard, so a 31-bit band value is safe.
-    */
-  private def bandValue(sig: Column, b: Int, rowsPerBand: Int): Column =
-    (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
-      (acc * 8191L + sig.getItem(b * rowsPerBand + r)) % Hashing.P
-    }
+  // Per-band LSH value semantics: the band's signature rows folded with an
+  // affine step mod P (now computed inside the native minhash_bands
+  // expression; DedupSpec pins it against the Column formulation).
+  // Collisions only ADD candidates, and every candidate is verified with
+  // exact Jaccard, so a 31-bit band value is safe.
 
   /** MinHash + banded LSH near-dup detection over HASHED shingles
     * ([[shingleHashSets]]: one sha60 per token, n-gram strings never
@@ -875,14 +872,15 @@ object Dedup {
     * candidate ids back to the (integer) shingle sets.
     */
   /** Band rows (id, band, bhash) of hashed-shingle sets — the LSH index
-    * rows shared by [[minhashLsh]] and [[incrementalMinhash]].
+    * rows shared by [[minhashLsh]] and [[incrementalMinhash]]. One native
+    * [[graft.functions.MinhashBands]] call per row (bit-identical to the
+    * Column formulation pinned in DedupSpec) instead of bands·rowsPerBand
+    * interpreted higher-order-function transforms.
     */
   private def bandRowsOf(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = array((0 until k).map(i =>
-      array_min(transform(col("hs"), h => Hashing.mix(h, i)))): _*)
+    graft.functions.MinhashBands.register(sets.sparkSession)
     sets.select(col("id"), posexplode(
-      array((0 until bands).map(b => bandValue(sig, b, rowsPerBand)): _*))
+      call_function("minhash_bands", col("hs"), lit(bands), lit(rowsPerBand)))
       .as(Seq("band", "bhash")))
   }
 
@@ -1094,10 +1092,15 @@ object Dedup {
       val sym = edges.select(col("u").as("s"), col("v").as("d"))
         .unionByName(edges.select(col("v").as("s"), col("u").as("d")))
       val mins = sym.groupBy(col("s")).agg(least(min(col("d")), first(col("s"))).as("m"))
+      // not checkpointed: `next` is the round's only materialization —
+      // large's distinct-exchange subtree appears in both the smins
+      // aggregate and the join probe below, and ReuseExchange computes it
+      // once inside next's plan; a separate eager checkpoint here paid one
+      // extra job per round for lineage next's own checkpoint already cuts
       val large = sym.join(mins, "s")
         .filter(col("d") > col("s"))
         .select(col("d").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct()
       // small-star over the canonical (u > v) view: u and its smaller
       // neighbors all re-point at the neighborhood min
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))

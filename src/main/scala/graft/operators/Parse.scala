@@ -232,11 +232,24 @@ object Parse {
       delim: String = ",", hasHeaders: Boolean = true,
       customHeaders: Seq[String] = Nil, extraSlots: Int = 4): DataFrame = {
     val spark = lines.sparkSession
+    // ONE tiny TakeOrdered job fetches the header line, the skip key and
+    // the uniqueness witness together (was three driver jobs: head(1) for
+    // the header, a min() aggregate for the skip key, and a limit(2) count
+    // for the duplicate-minimum check). The header skip must drop exactly
+    // ONE row; a duplicated minimum would silently swallow a data line.
+    val headRows: Array[org.apache.spark.sql.Row] =
+      if (!hasHeaders) Array.empty
+      else lines.orderBy(col(orderCol)).select(col(orderCol), col(lineCol))
+        .limit(2).collect()
+    if (hasHeaders)
+      require(headRows.nonEmpty &&
+        (headRows.length < 2 || headRows(0).get(0) != headRows(1).get(0)),
+        s"csvTable: header row must be unique by '$orderCol' " +
+          s"(multiple rows share the minimum ${headRows.headOption.map(_.get(0)).orNull})")
     val headers: Seq[String] =
       if (!hasHeaders) customHeaders
       else {
-        val firstLine = lines.orderBy(col(orderCol)).select(col(lineCol))
-          .limit(1).collect().headOption.map(_.getString(0)).getOrElse("")
+        val firstLine = headRows.headOption.map(_.getString(1)).getOrElse("")
         // upper-bound field count by delimiter count (quoted delims only
         // overcount, yielding trailing nulls we drop)
         val nGuess = firstLine.count(_ == delim.head) + 1
@@ -249,16 +262,8 @@ object Parse {
       if (h != null && h.nonEmpty) h else s"field_${i + 1}" }
     val n = named.size + extraSlots
     val data =
-      if (hasHeaders) {
-        val minOrder = lines.agg(min(col(orderCol))).collect().head.get(0)
-        // the header skip must drop exactly ONE row; a duplicated minimum
-        // would silently swallow a data line, so enforce the uniqueness
-        // precondition (cheap: limit(2) short-circuits the scan)
-        require(lines.filter(col(orderCol) === lit(minOrder)).limit(2).count() == 1,
-          s"csvTable: header row must be unique by '$orderCol' " +
-            s"(multiple rows share the minimum $minOrder)")
-        lines.filter(col(orderCol) =!= lit(minOrder))
-      } else lines
+      if (hasHeaders) lines.filter(col(orderCol) =!= lit(headRows(0).get(0)))
+      else lines
     val f = csvFields(col(lineCol), n, delim)
     val cols = (0 until n).map { i =>
       val name = if (i < named.size) named(i) else s"extra_field_${i + 1}"

@@ -357,6 +357,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet == Set(3L, 1003L, 5L, 1005L, 2005L))
   }
 
+  test("native minhash_bands equals the Column signature/band formulation") {
+    import org.apache.spark.sql.Column
+    import graft.functions.{Hashing, MinhashBands}
+    val sets = Dedup.shingleHashSets(docs, "doc_id", "text", 3)
+    val bands = 4; val rpb = 2
+    val sig = array((0 until bands * rpb).map(i =>
+      array_min(transform($"hs", h => Hashing.mix(h, i)))): _*)
+    def bandValue(b: Int): Column =
+      (0 until rpb).foldLeft(lit(0L): Column) { (acc, r) =>
+        (acc * 8191L + sig.getItem(b * rpb + r)) % Hashing.P
+      }
+    val colForm = sets.select($"id",
+        posexplode(array((0 until bands).map(bandValue): _*)).as(Seq("band", "bhash")))
+      .as[(Long, Int, Long)].collect().toSet
+    MinhashBands.register(spark)
+    val native = sets.select($"id",
+        posexplode(call_function("minhash_bands", $"hs", lit(bands), lit(rpb)))
+          .as(Seq("band", "bhash")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(native == colForm && native.nonEmpty)
+  }
+
   test("hashed shingle sets equal sha60-of-string shingles in size (no in-doc collisions here)") {
     val strs = Dedup.shingleSets(docs, "doc_id", "text", 3)
       .select($"id", size($"sh").as("n")).as[(Long, Int)].collect().toMap
