@@ -483,36 +483,54 @@ object Dedup {
       else batch.join(
         spark.read.parquet(exactDirs: _*),
         col("__h60") === col("content_h60"), "left_anti")).cache()
-    // 3) within-batch near-dup removal (keep the lower id of each pair)
+    // 3+4) near-dup removal, within-batch and cross-batch FUSED into one
+    // candidate pass when the store is non-empty: the batch's band rows
+    // join ONCE against (batch bands ∪ stored bands), candidates are
+    // verified once against (batch sets ∪ stored sets), and the drop set
+    // is {b of each verified within pair} ∪ {a matched to the store}.
+    // Provably the same survivor set as the former two-stage shape
+    // (within-keep, then keep-side vs store): a doc the store also matches
+    // but the within pass already dropped is simply dropped by both
+    // members of the union — anti-join semantics make the double removal
+    // a no-op — while every former drop is still generated. Halves the
+    // LSH exchanges of a batch (one band join + one distinct + one
+    // verification + one anti-join instead of two of each). The `__self`
+    // flag rides the candidate AND the set lookup so colliding id VALUES
+    // between batch and store can never cross-verify.
     val sets = shingleHashSets(unseen, idCol, textCol, n).cache()
-    val pairs = lshPairsFromSets(sets, bands, rowsPerBand, threshold)
-    val localKeep = unseen.join(pairs.select(col("b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-    // 4) cross-batch: survivors' bands vs every stored band, verified
-    // against the stored hashed-shingle sets — ids-only candidate shuffle
     val fresh0 =
-      if (seenDirs.isEmpty) localKeep
-      else {
+      if (seenDirs.isEmpty) {
+        val pairs = lshPairsFromSets(sets, bands, rowsPerBand, threshold)
+        unseen.join(pairs.select(col("b").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      } else {
         val oldBands = spark.read.option("mergeSchema", "true")
           .parquet(seenDirs.map(d => s"$d/bands"): _*)
           .select("id", "band", "bhash")
         val oldSets = spark.read.option("mergeSchema", "true")
           .parquet(seenDirs.map(d => s"$d/sets"): _*)
           .select("id", "hs")
-        val keepSets = sets.join(localKeep.select(col(idCol).as("id")),
-          Seq("id"), "left_semi")
-        val cand = bandRowsOf(keepSets, bands, rowsPerBand).as("l")
-          .join(oldBands.as("r"),
-            col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash"))
-          .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-        val matched = cand
-          .join(keepSets.select(col("id").as("a"), col("hs").as("hsa_")), "a")
-          .join(oldSets.select(col("id").as("b"), col("hs").as("hsb_")), "b")
+        val selfBands = bandRowsOf(sets, bands, rowsPerBand)
+        val rightBands = selfBands.withColumn("__self", lit(true))
+          .unionByName(oldBands.withColumn("__self", lit(false)))
+        val cand = selfBands.as("l").join(rightBands.as("r"),
+            col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+              (!col("r.__self") || col("l.id") < col("r.id")))
+          .select(col("l.id").as("a"), col("r.id").as("b"),
+            col("r.__self").as("__self"))
+          .distinct()
+        val rightSets = sets.withColumn("__self", lit(true))
+          .unionByName(oldSets.withColumn("__self", lit(false)))
+        val dropped = cand
+          .join(sets.select(col("id").as("a"), col("hs").as("hsa_")), "a")
+          .join(rightSets.select(col("id").as("b"), col("__self"),
+            col("hs").as("hsb_")), Seq("b", "__self"))
           .withColumn("inter", size(array_intersect(col("hsa_"), col("hsb_"))))
           .filter(col("inter").cast("double") /
             (size(col("hsa_")) + size(col("hsb_")) - col("inter")) >= threshold)
-          .select(col("a").as(idCol)).distinct()
-        localKeep.join(matched, Seq(idCol), "left_anti")
+          .select(when(col("__self"), col("b")).otherwise(col("a")).as(idCol))
+          .distinct()
+        unseen.join(dropped, Seq(idCol), "left_anti")
       }
     val fresh = fresh0.cache()
     val commit = () => try {
