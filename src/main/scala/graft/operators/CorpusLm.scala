@@ -122,11 +122,51 @@ object CorpusLm {
       .select(col("doc_id"), col("n_bigrams"),
         TextAnalysis.r6(-(col("s") / col("n_bigrams").cast("double"))
           / lit(math.log(2.0))).as("bits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("bits"), col("doc_id"))
-    scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // Terciles WITHOUT a full-stratum window: ntile(3) OVER (PARTITION BY
+    // lang ORDER BY bits, doc_id) funnels an entire language stratum
+    // through one task (the r6-flagged 100 TB straggler). The exact
+    // equivalent in two phases: bucket rows by the coarse monotone key
+    // floor(bits), take per-(lang, bucket) counts (a model-sized table),
+    // turn them into running offsets with a window over THAT table (tens
+    // of rows per lang, never row-scale), and add a within-bucket
+    // row_number — offset + local rank IS the stratum-global rank because
+    // the bucket key is monotone in the sort key and ties in bits share a
+    // bucket. The ntile value is then computed arithmetically from
+    // (rank, n): k tiles of n rows = n%k tiles of size n/k+1 first, the
+    // rest n/k — bit-identical to ntile(3) for every n (CorpusLmSpec pins
+    // the equivalence; the oracle still uses SQL ntile). Each window task
+    // now holds one (lang, unit-of-bits) slice instead of a language.
+    val withLang = scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("__fb", floor(col("bits")))
+    val bucketCounts = withLang.groupBy(col("lang"), col("__fb"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("__fb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .select(col("lang"), col("__fb"), col("__off"))
+    val totals = bucketCounts.groupBy(col("lang"))
+      .agg(sum(col("__c")).as("__n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("__fb")).orderBy(col("bits"), col("doc_id"))
+    // integer `div` throughout (Column `/` is true division; a double
+    // quotient's floor can misround at scale); ANSI-safe: the ELSE branch
+    // (divisor `__n div 3`) is only evaluated when the CASE condition is
+    // false, which requires __n >= 3
+    val tileSql =
+      """CASE WHEN __rank <= ((__n div 3) + 1) * (__n % 3)
+        |     THEN ((__rank - 1) div ((__n div 3) + 1)) + 1
+        |     ELSE (__n % 3) +
+        |          ((__rank - 1 - ((__n div 3) + 1) * (__n % 3)) div (__n div 3)) + 1
+        |END""".stripMargin
+    withLang
+      .join(broadcast(offsets), Seq("lang", "__fb"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
       .withColumn("bucket",
-        element_at(typedlit(Seq("head", "middle", "tail")), ntile(3).over(w)))
+        element_at(typedlit(Seq("head", "middle", "tail")),
+          expr(tileSql).cast("int")))
       .select("doc_id", "lang", "n_bigrams", "bits", "bucket")
   }
 

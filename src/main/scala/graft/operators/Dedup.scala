@@ -1030,8 +1030,11 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
+    // not checkpointed: round 1's materialization computes the distinct
+    // from the already-checkpointed edges — a separate eager job here paid
+    // one extra job for lineage the per-round checkpoints already cut
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+      .withColumn("cluster", col("id"))
     var changed = 1L
     var round = 0
     while (changed > 0) {

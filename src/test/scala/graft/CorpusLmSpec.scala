@@ -53,6 +53,28 @@ class CorpusLmSpec extends AnyFunSuite {
     assert(short.count() == 0L)
   }
 
+  test("two-phase tercile rank equals ntile(3) over the full stratum") {
+    // the r7 rewrite computes the tercile from a coarse-bucket offset plus
+    // a within-bucket row_number; it must equal SQL ntile(3) OVER
+    // (PARTITION BY lang ORDER BY bits, doc_id) for strata whose sizes
+    // exercise n % 3 ∈ {0, 1, 2} and repeated bits values
+    val rows = (0 until 25).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val words = (0 to i % 7 + 1).map(j => s"w${(i * 3 + j) % 9}").mkString(" ")
+      (i.toLong, lang, "s", words)
+    }
+    val out = CorpusLm.bigramBits(docs(rows: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("bits"), col("doc_id"))
+    val mismatches = out
+      .withColumn("expected", element_at(
+        typedlit(Seq("head", "middle", "tail")), ntile(3).over(w)))
+      .filter(col("bucket") =!= col("expected"))
+      .count()
+    assert(mismatches == 0L)
+    assert(out.count() == 25L)
+  }
+
   test("dsirWeights: target-typical tokens outrank target-absent tokens") {
     // target slice uses token x only; candidate 3 matches it, 4 does not
     val d = docs(
