@@ -31,11 +31,20 @@ object Similarity {
   /** Cast float vector to double to make downstream folds deterministic. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product ([[graft.functions.VecDot]]) — the same
+    * left fold of the same products as the interpreted
+    * `aggregate(zip_with(...))` composition it replaced (SimilaritySpec
+    * pins the equality), registered on the active session at plan time.
+    */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.VecDot.register(org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
 
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  /** sqrt of the self-dot — identical arithmetic to the previous
+    * `aggregate(v, 0.0, (acc, x) => acc + x*x)` fold.
+    */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)

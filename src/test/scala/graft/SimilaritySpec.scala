@@ -110,6 +110,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res._2 == 7L && res._3 == 1.0)
   }
 
+  test("native vec_dot is bit-identical to the interpreted zip_with/aggregate fold") {
+    val v = Similarity.toDoubleVec($"embedding")
+    val interpreted = aggregate(zip_with(v, reverse(v), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val interpNorm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val mismatches = emb.select(
+        Similarity.dot(v, reverse(v)).as("nd"), interpreted.as("id_"),
+        Similarity.l2norm(v).as("nn"), interpNorm.as("in_"))
+      .filter($"nd" =!= $"id_" || $"nn" =!= $"in_")
+      .count()
+    assert(mismatches == 0L)
+    // length mismatch nulls out, exactly like the zip_with null padding
+    val r = emb.limit(1)
+      .select(Similarity.dot(v, slice(v, 1, 3)).as("d")).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(3)
     val res = Similarity.bruteForceKnn(
