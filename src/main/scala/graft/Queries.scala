@@ -465,12 +465,17 @@ object Queries {
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__in"))
       def tag(m: String, df: DataFrame): DataFrame =
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      // ONE seed-quantizer collect shared by the ivf leg and the k-means
+      // fit (both derive from the same deterministic first-8-rows seeds;
+      // ivfKnn/ivfKnnKmeans would each re-collect them)
+      val seeds = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
       val ap = tag("lsh", Similarity.lshKnn(e, q, "vec_id", "embedding",
           k = 5, bands = 24, planesPerBand = 4))
-        .unionByName(tag("ivf", Similarity.ivfKnn(e, q, "vec_id", "embedding",
-          k = 5, nCentroids = 8, nProbe = 4)))
-        .unionByName(tag("ivf_kmeans", Similarity.ivfKnnKmeans(e, q,
-          "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 4, iters = 2)))
+        .unionByName(tag("ivf", Similarity.ivfKnnWith(seeds, e, q,
+          "vec_id", "embedding", k = 5, nProbe = 4)))
+        .unionByName(tag("ivf_kmeans", Similarity.ivfKnnWith(
+          Similarity.kmeansFitFrom(seeds, e, "vec_id", "embedding", iters = 2),
+          e, q, "vec_id", "embedding", k = 5, nProbe = 4)))
       ap.join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
         .groupBy("method", "query_id")
         .agg(count(lit(1)).as("n_returned"),

@@ -682,14 +682,19 @@ object Dedup {
   def crossDocShingleCoverage(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val hs = shingleHashSets(df, idCol, textCol, n)
-    val ex = hs.select(col("id"), explode(col("hs")).as("h"))
+    // n_shingles rides the exploded rows (8 bytes) and comes back through
+    // the final aggregate (max of a per-id constant), so the doc-grain
+    // join that re-evaluated the whole shingle_hashes pass a third time
+    // is gone; docs with no shared shingle drop out of the inner join
+    // exactly as they dropped out of the old inner doc-grain join
+    val ex = hs.select(col("id"),
+      size(col("hs")).cast("long").as("n_shingles"), explode(col("hs")).as("h"))
     val shared = ex.groupBy(col("h")).agg(count(lit(1)).as("docs"))
       .filter(col("docs") > 1).select(col("h"))
-    val nShared = ex.join(shared, "h")
-      .groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_shared"))
-    hs.select(col("id").as("doc_id"),
-        size(col("hs")).cast("long").as("n_shingles"))
-      .join(nShared, "doc_id")
+    ex.join(shared, "h")
+      .groupBy(col("id").as("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_shared"))
   }
 
   /** Cross-document duplication coverage over WINNOWING fingerprints

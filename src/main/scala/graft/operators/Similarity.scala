@@ -166,8 +166,18 @@ object Similarity {
     * exceeds k·D doubles on the driver.
     */
   def kmeansFit(corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int): Centroids = {
-    val seeds = seedCentroids(corpus, idCol, embCol, k)
+      k: Int, iters: Int): Centroids =
+    kmeansFitFrom(seedCentroids(corpus, idCol, embCol, k),
+      corpus, idCol, embCol, iters)
+
+  /** [[kmeansFit]] from an already-collected seed quantizer — lets a
+    * caller that also runs the seed-quantizer IVF leg (q_knn_recall)
+    * collect the deterministic seeds once instead of once per leg.
+    * Identical fit: the seeds are relabeled 0..k−1 exactly as before.
+    */
+  def kmeansFitFrom(seedRows: Centroids, corpus: DataFrame, idCol: String,
+      embCol: String, iters: Int): Centroids = {
+    val seeds = seedRows
       .zipWithIndex.map { case ((_, v, n), i) => (i.toLong, v, n) }
     (1 to iters).foldLeft(seeds: Centroids) { (cents, _) =>
       val dims = cents.head._2.length
