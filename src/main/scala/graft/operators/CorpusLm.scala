@@ -92,9 +92,15 @@ object CorpusLm {
     // should gate this path on sha60-style wider keys instead. The lit
     // salts keep the two key spaces disjoint and multi-arg xxhash64
     // hashes fields positionally, so no separator is needed.
+    // cached: the hashed bigram-instance table feeds the c1 aggregate, the
+    // c2 aggregate AND the probability-join probe side — uncached, the
+    // tokenize + explode + hash pass ran three times (~0.45s each at
+    // sf0.1). The cached rows are four longs wide (never strings — the
+    // working-notes caveat about string-heavy caches doesn't apply).
     val bg = bigrams(docs).select(col("doc_id"), col("pos"),
       xxhash64(lit("u"), col("w1")).as("h1"),
       xxhash64(lit("b"), col("w1"), col("w2")).as("h12"))
+      .cache()
     val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).cast("double").as("c1"))
     val c2 = bg.groupBy(col("h12"))
       .agg(count(lit(1)).cast("double").as("c2"))

@@ -922,7 +922,14 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.8, maxBucket: Option[Int] = None): DataFrame =
-    lshPairsFromSets(shingleHashSets(df, idCol, textCol, n), bands,
+    // cached: the hashed-shingle sets feed the band-row index AND both
+    // sides of the exact-Jaccard verification; only the upstream EXCHANGE
+    // is deduped across those uses (ReuseExchange), so everything above it
+    // — including the sha256-per-token shingling — would otherwise
+    // recompute per use. Rows are (id, array<long>) — compact, never text
+    // (the incremental-store path has cached its sets since r5 for the
+    // same reason).
+    lshPairsFromSets(shingleHashSets(df, idCol, textCol, n).cache(), bands,
       rowsPerBand, threshold, maxBucket)
 
   /** Verified near-dup pairs (a < b) from precomputed hashed-shingle sets:
