@@ -768,12 +768,17 @@ object Dedup {
     // evaluated once per row, and projections never merge across Generate
     val tok = df.select(col(idCol).as("id"),
       explode(array(TextAnalysis.tokens(col(textCol)))).as("__t"))
+    // cached: the hashed sets feed the prefix index AND both verification
+    // sides — without the cache the tokenize + per-shingle hash pass runs
+    // three times (the minhashLsh sets-cache rationale; (id, array<long>)
+    // rows, never text)
     val sets = tok.select(col("id"),
         array_distinct(when(size(col("__t")) >= n,
           transform(sequence(lit(1), size(col("__t")) - (n - 1)),
             i => xxhash64(array_join(slice(col("__t"), i, lit(n)), " "))))
           .otherwise(array().cast("array<bigint>"))).as("hs"))
       .filter(size(col("hs")) > 0)
+      .cache()
     val ex = sets.select(col("id"), size(col("hs")).as("sz"),
       explode(col("hs")).as("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
